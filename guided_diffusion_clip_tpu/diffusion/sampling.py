@@ -1,0 +1,275 @@
+"""Ancestral (p_sample) and DDIM sampling loops as single lax.scans.
+
+Reference behavior: guided_diffusion/gaussian_diffusion.py:395-716. The
+reference runs a Python generator loop with one host->device round trip per
+timestep (:531-544); here the whole denoise chain is ONE compiled
+`lax.scan` over the (respaced) timestep axis — fixed shapes, static
+coefficient tables, threaded PRNG key. Classifier/CLIP guidance composes via
+`cond_fn` (a jax.grad-built callable) inside the scanned body.
+
+`denoise_start_point` (fork feature, reference gaussian_diffusion.py:452,
+517-523): instead of starting from pure noise at t=T-1, start from
+q_sample(init_image, t0) and denoise t0-1..0. It is a static Python int here
+(one recompile per distinct depth — documented, cheap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from . import gaussian as G
+from .schedules import DiffusionSchedule, ModelMeanType, ModelVarType
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static sampling configuration (hashable; safe as a jit static arg)."""
+
+    mean_type: ModelMeanType = ModelMeanType.EPSILON
+    var_type: ModelVarType = ModelVarType.LEARNED_RANGE
+    clip_denoised: bool = True
+    eta: float = 0.0  # DDIM stochasticity (reference :546, eq.12 eta)
+    # -1 => start from noise at T-1; otherwise start from q_sample(init, t0).
+    denoise_start_point: int = -1
+
+
+def _start_state(sched, cfg, shape, rng, noise=None, init_image=None):
+    """Initial latent + first timestep index (reference :509-529)."""
+    if cfg.denoise_start_point == -1:
+        t_start = sched.num_timesteps
+        if noise is None:
+            noise = jax.random.normal(rng, shape, dtype=jnp.float32)
+        img = noise
+    else:
+        t_start = int(cfg.denoise_start_point)
+        assert 0 < t_start <= sched.num_timesteps
+        assert init_image is not None, "denoise_start_point requires an init image"
+        t0 = jnp.full((shape[0],), t_start - 1, dtype=jnp.int32)
+        start_noise = jax.random.normal(rng, shape, dtype=jnp.float32)
+        img = G.q_sample(sched, init_image, t0, start_noise)
+    return img, t_start
+
+
+def p_sample_step(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    x,
+    t,
+    rng,
+    *,
+    cfg: SamplerConfig,
+    cond_fn: Callable | None = None,
+    denoised_fn: Callable | None = None,
+    model_kwargs: dict | None = None,
+):
+    """One ancestral step x_t -> x_{t-1} (reference p_sample :395-439).
+
+    sample = mean + 1{t != 0} * exp(0.5 logvar) * z, with guidance shifting
+    the mean by variance * cond_fn (condition_mean, reference :434-437).
+    """
+    out = G.p_mean_variance(
+        sched, model_fn, x, t,
+        mean_type=cfg.mean_type, var_type=cfg.var_type,
+        clip_denoised=cfg.clip_denoised, denoised_fn=denoised_fn,
+        model_kwargs=model_kwargs,
+    )
+    if cond_fn is not None:
+        out = G.condition_mean(sched, cond_fn, out, x, t, model_kwargs=model_kwargs)
+    noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+    nonzero_mask = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+    sample = out.mean + nonzero_mask * jnp.exp(0.5 * out.log_variance) * noise
+    return sample, out.pred_xstart
+
+
+def ddim_step(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    x,
+    t,
+    rng,
+    *,
+    cfg: SamplerConfig,
+    cond_fn: Callable | None = None,
+    denoised_fn: Callable | None = None,
+    model_kwargs: dict | None = None,
+):
+    """One DDIM step (reference ddim_sample :546-594, eq.12 of Song et al.).
+
+    Guidance uses condition_score (reference :570-571): shift eps by
+    -sqrt(1-ab) * grad before re-deriving x0 and the update.
+    """
+    out = G.p_mean_variance(
+        sched, model_fn, x, t,
+        mean_type=cfg.mean_type, var_type=cfg.var_type,
+        clip_denoised=cfg.clip_denoised, denoised_fn=denoised_fn,
+        model_kwargs=model_kwargs,
+    )
+    if cond_fn is not None:
+        out = G.condition_score(sched, cond_fn, out, x, t, model_kwargs=model_kwargs)
+
+    nd = x.ndim
+    eps = G.predict_eps_from_xstart(sched, x, t, out.pred_xstart)
+    alpha_bar = G._extract(sched.alphas_cumprod, t, nd)
+    alpha_bar_prev = G._extract(sched.alphas_cumprod_prev, t, nd)
+    sigma = (
+        cfg.eta
+        * jnp.sqrt((1.0 - alpha_bar_prev) / (1.0 - alpha_bar))
+        * jnp.sqrt(1.0 - alpha_bar / alpha_bar_prev)
+    )
+    noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+    mean_pred = (
+        out.pred_xstart * jnp.sqrt(alpha_bar_prev)
+        + jnp.sqrt(1.0 - alpha_bar_prev - sigma**2) * eps
+    )
+    nonzero_mask = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (nd - 1))
+    sample = mean_pred + nonzero_mask * sigma * noise
+    return sample, out.pred_xstart
+
+
+def ddim_reverse_step(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    x,
+    t,
+    *,
+    cfg: SamplerConfig,
+    model_kwargs: dict | None = None,
+):
+    """Deterministic encoding step x_t -> x_{t+1} (reference :596-632, eta=0 only)."""
+    out = G.p_mean_variance(
+        sched, model_fn, x, t,
+        mean_type=cfg.mean_type, var_type=cfg.var_type,
+        clip_denoised=cfg.clip_denoised, model_kwargs=model_kwargs,
+    )
+    nd = x.ndim
+    eps = (
+        G._extract(sched.sqrt_recip_alphas_cumprod, t, nd) * x - out.pred_xstart
+    ) / G._extract(sched.sqrt_recipm1_alphas_cumprod, t, nd)
+    alpha_bar_next = G._extract(sched.alphas_cumprod_next, t, nd)
+    mean_pred = out.pred_xstart * jnp.sqrt(alpha_bar_next) + jnp.sqrt(1.0 - alpha_bar_next) * eps
+    return mean_pred, out.pred_xstart
+
+
+def _scan_loop(
+    step_fn,
+    sched,
+    model_fn,
+    shape,
+    rng,
+    *,
+    cfg,
+    noise,
+    init_image,
+    cond_fn,
+    denoised_fn,
+    model_kwargs,
+    progressive: bool,
+):
+    rng, init_rng = jax.random.split(rng)
+    img, t_start = _start_state(sched, cfg, shape, init_rng, noise=noise, init_image=init_image)
+    timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
+    step_keys = jax.random.split(rng, t_start)
+
+    def body(carry, inp):
+        x = carry
+        t_scalar, key = inp
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        sample, pred_xstart = step_fn(
+            sched, model_fn, x, t, key,
+            cfg=cfg, cond_fn=cond_fn, denoised_fn=denoised_fn, model_kwargs=model_kwargs,
+        )
+        out = (sample, pred_xstart) if progressive else None
+        return sample, out
+
+    final, ys = jax.lax.scan(body, img, (timesteps, step_keys))
+    if progressive:
+        return final, ys  # ys = (samples [T,B,H,W,C], pred_xstarts [T,...])
+    return final
+
+
+def p_sample_loop(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    shape,
+    rng,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+    noise=None,
+    init_image=None,
+    cond_fn: Callable | None = None,
+    denoised_fn: Callable | None = None,
+    model_kwargs: dict | None = None,
+):
+    """Full ancestral sampling chain as one scan (reference :441-544)."""
+    return _scan_loop(
+        p_sample_step, sched, model_fn, shape, rng,
+        cfg=cfg, noise=noise, init_image=init_image, cond_fn=cond_fn,
+        denoised_fn=denoised_fn, model_kwargs=model_kwargs, progressive=False,
+    )
+
+
+def p_sample_loop_progressive(sched, model_fn, shape, rng, **kw):
+    """Like p_sample_loop but also returns all intermediates (reference :489-544).
+
+    Returns (final, (samples[T,...], pred_xstarts[T,...])) ordered from the
+    first denoise step to the last.
+    """
+    return _scan_loop(
+        p_sample_step, sched, model_fn, shape, rng, progressive=True,
+        **{k: kw.get(k) for k in ("noise", "init_image", "cond_fn", "denoised_fn", "model_kwargs")},
+        cfg=kw.get("cfg", SamplerConfig()),
+    )
+
+
+def ddim_sample_loop(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    shape,
+    rng,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+    noise=None,
+    init_image=None,
+    cond_fn: Callable | None = None,
+    denoised_fn: Callable | None = None,
+    model_kwargs: dict | None = None,
+):
+    """Full DDIM chain as one scan (reference :634-716)."""
+    return _scan_loop(
+        ddim_step, sched, model_fn, shape, rng,
+        cfg=cfg, noise=noise, init_image=init_image, cond_fn=cond_fn,
+        denoised_fn=denoised_fn, model_kwargs=model_kwargs, progressive=False,
+    )
+
+
+def ddim_sample_loop_progressive(sched, model_fn, shape, rng, **kw):
+    return _scan_loop(
+        ddim_step, sched, model_fn, shape, rng, progressive=True,
+        **{k: kw.get(k) for k in ("noise", "init_image", "cond_fn", "denoised_fn", "model_kwargs")},
+        cfg=kw.get("cfg", SamplerConfig()),
+    )
+
+
+def ddim_reverse_loop(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    x0,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+    model_kwargs: dict | None = None,
+):
+    """Deterministically encode x_0 to x_T by scanning ddim_reverse_step forward."""
+    B = x0.shape[0]
+    timesteps = jnp.arange(sched.num_timesteps, dtype=jnp.int32)
+
+    def body(x, t_scalar):
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        nxt, _ = ddim_reverse_step(sched, model_fn, x, t, cfg=cfg, model_kwargs=model_kwargs)
+        return nxt, None
+
+    final, _ = jax.lax.scan(body, x0, timesteps)
+    return final
