@@ -1,0 +1,154 @@
+"""NN primitives with the exact numerics contracts the ADM checkpoints depend on.
+
+Reference behavior: guided_diffusion/nn.py. The contracts that matter for
+checkpoint parity (SURVEY.md §7 "hard parts"):
+  - GroupNorm computes in f32 and casts back (GroupNorm32, nn.py:17-19),
+    32 groups (nn.py:93-100).
+  - zero-initialized output convs/projections (nn.py:68-74).
+  - sinusoidal timestep embedding with max_period=1e4 and [cos, sin] channel
+    order (nn.py:103-122).
+
+Everything is NHWC flax.linen; params are f32, compute dtype is configurable
+(bf16 torso on TPU — the loss-scale-free replacement for fp16_util.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+zero_init = nn.initializers.zeros
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal embeddings, [cos, sin] order (reference nn.py:103-122).
+
+    `timesteps` may be fractional (rescaled respacing). Computed in f32.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate([embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm over the channel (last) axis, computed in f32 (nn.py:17-19).
+
+    Matches torch.nn.GroupNorm semantics: groups partition channels, mean/var
+    over (spatial, channels-within-group), eps 1e-5. Output cast back to the
+    input dtype so a bf16 torso keeps its dtype across the norm.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        C = x.shape[-1]
+        groups = min(self.num_groups, C)
+        assert C % groups == 0, f"channels {C} not divisible by {groups} groups"
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        x = x.astype(jnp.float32)
+        spatial = x.shape[1:-1]
+        xg = x.reshape(x.shape[0], *spatial, groups, C // groups)
+        reduce_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = xg.mean(axis=reduce_axes, keepdims=True)
+        var = xg.var(axis=reduce_axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        x = xg.reshape(x.shape)
+        x = x * scale + bias
+        return x.astype(orig_dtype)
+
+
+def normalization(num_groups: int = 32) -> GroupNorm32:
+    return GroupNorm32(num_groups=num_groups)
+
+
+class Conv(nn.Module):
+    """3x3/1x1 conv in NHWC with optional zero init (the `zero_module` contract)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        init = zero_init if self.zero else nn.initializers.lecun_normal()
+        bias_init = nn.initializers.zeros
+        # Explicit symmetric padding (k-1)//2 on both sides, matching torch
+        # Conv2d(padding=1). XLA's "SAME" pads (0, 1) for stride 2, which
+        # shifts strided-conv windows off the reference's by one pixel.
+        p = (self.kernel_size - 1) // 2
+        return nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_init=init,
+            bias_init=bias_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+
+
+class Dense(nn.Module):
+    """Linear layer; `zero` gives the zero_module contract."""
+
+    features: int
+    zero: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        init = zero_init if self.zero else nn.initializers.lecun_normal()
+        return nn.Dense(
+            self.features,
+            kernel_init=init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="dense",
+        )(x)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 average pool (reference Downsample avg_pool_nd path)."""
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Exact nearest-x2 (reference F.interpolate(scale_factor=2, mode="nearest"))."""
+    B, H, W, C = x.shape
+    x = jnp.repeat(x, 2, axis=1)
+    x = jnp.repeat(x, 2, axis=2)
+    return x
+
+
+def bilinear_resize(x: jax.Array, new_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize with half-pixel centers.
+
+    Matches torch F.interpolate(mode="bilinear", align_corners=False), which
+    is what SuperResModel uses to upsample low_res (unet.py:679).
+    """
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, new_hw[0], new_hw[1], C), method="linear")
