@@ -1,0 +1,60 @@
+"""Guidance gradient builders: classifier guidance and generic potentials.
+
+Reference behavior: scripts/classifier_sample.py:54-61 — cond_fn computes
+grad_x of the selected class log-probability through the noised classifier,
+scaled by classifier_scale. Torch uses autograd-with-requires_grad inside the
+sampling loop; here the whole thing is `jax.grad` composed INSIDE the scanned
+denoise step, so guidance compiles into the same XLA program as the UNet
+forward (no graph breaks, no per-step dispatch).
+
+The same slot accepts a CLIP image/text-similarity gradient (see
+models/clip_vit.py + clip_guidance_cond_fn) — the technique described in the
+reference model card (model-card.md:45-48).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def classifier_cond_fn(classifier_fn: Callable, classifier_scale: float = 1.0) -> Callable:
+    """Build cond_fn(x, t, y=..., **kw) -> d/dx [log p(y|x, t)] * scale.
+
+    `classifier_fn(x, t) -> logits` must close over the classifier params.
+    Matches classifier_sample.py:54-61 (sum of selected log-softmax, grad wrt x).
+    """
+
+    def cond_fn(x, t, y=None, **kwargs):
+        assert y is not None, "classifier guidance requires labels y"
+
+        def selected_logp(x_in):
+            logits = classifier_fn(x_in, t)
+            log_probs = jax.nn.log_softmax(logits, axis=-1)
+            selected = jnp.take_along_axis(log_probs, y[:, None], axis=-1)
+            return selected.sum()
+
+        return jax.grad(selected_logp)(x) * classifier_scale
+
+    return cond_fn
+
+
+def potential_cond_fn(potential: Callable, scale: float = 1.0) -> Callable:
+    """Generic guidance from any scalar potential U(x, t, **kw): grad_x U * scale."""
+
+    def cond_fn(x, t, **kwargs):
+        return jax.grad(lambda x_: potential(x_, t, **kwargs))(x) * scale
+
+    return cond_fn
+
+
+def model_fn_dropping_y(model_fn: Callable, class_cond: bool) -> Callable:
+    """classifier_sample.py:63-65: drop y from the UNet call unless class-conditional
+    (guidance labels are still consumed by cond_fn)."""
+
+    def fn(x, t, y=None, **kwargs):
+        return model_fn(x, t, y=y if class_cond else None, **kwargs)
+
+    return fn

@@ -355,8 +355,12 @@ class UNetModel(nn.Module):
 
         # --- conditioning vector per variant -------------------------------
         if cfg.variant == "clip_feat":
-            assert clip_feat is not None
-            y = clip_feat.reshape(x.shape[0], -1).astype(jnp.float32)
+            # Fix-forward: the reference's UNetModel_clip_feat crashes when
+            # built unconditionally (clip_feat=None -> .squeeze() AttributeError,
+            # unet_other.py:39); we fall back to plain-UNet behavior instead.
+            if cfg.num_classes is not None:
+                assert clip_feat is not None, "clip_feat-conditional model requires clip_feat"
+                y = clip_feat.reshape(x.shape[0], -1).astype(jnp.float32)
         elif cfg.variant == "sr_img_feat":
             assert clip_feat is not None and clip_feat2 is not None and img2 is not None
             bias_feat = self.param(

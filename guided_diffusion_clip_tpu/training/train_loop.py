@@ -1,0 +1,373 @@
+"""Training loop: optax AdamW + EMA + microbatching + DP mesh + checkpointing.
+
+Reference behavior: guided_diffusion/train_util.py (TrainLoop :24) and
+fp16_util.py. TPU-native mapping (SURVEY.md §2.1):
+  - fp16 master-weights + dynamic loss scaling -> bf16 compute / f32 params,
+    loss-scale-free (the model's GroupNorm/softmax stay f32 by construction).
+  - DDP bucketed allreduce -> jit over a Mesh(('data',)) with the batch
+    sharded on `data`; XLA inserts the gradient psum over ICI.
+  - microbatch grad accumulation (train_util.py:193-225) -> lax.scan inside
+    the one jitted step. Like the reference, each microbatch contributes the
+    gradient of its own mean loss and contributions are SUMMED (torch
+    .backward accumulation semantics) — keeping effective-LR parity.
+  - EMA update_ema lerp (nn.py:55) -> optax.incremental_update per rate.
+  - checkpoint naming + resume-step parsing preserved (train_util.py:243-267).
+  - DIFFUSION_TRAINING_TEST env var stops after the first save interval
+    (train_util.py:174-177).
+  - per-quartile loss logging (train_util.py:381-387).
+  - in-training validation sampling with PNG grids + npz (train_util.py:269-341),
+    fix-forward: val_datasets optional, use_ddim honored from an explicit arg.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.api import Diffusion
+from ..parallel import dist as pdist
+from ..parallel.mesh import create_mesh, replicate, shard_batch
+from ..training.resample import LossAwareSampler, ScheduleSampler, UniformSampler
+from ..utils import checkpoint as ckpt
+from ..utils import logger
+from ..utils.saving_imgs import save_img, tensor2img
+
+INITIAL_LOG_LOSS_SCALE = 20.0  # kept for log parity; bf16 needs no scaling
+
+
+def _global_norm(tree) -> jax.Array:
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        *,
+        model,
+        diffusion: Diffusion,
+        data: Iterator,
+        batch_size: int,
+        microbatch: int,
+        lr: float,
+        ema_rate,
+        log_interval: int,
+        save_interval: int,
+        resume_checkpoint: str = "",
+        use_fp16: bool = False,  # accepted for flag parity; bf16 is dtype-driven
+        fp16_scale_growth: float = 1e-3,  # ignored (no loss scaling on TPU)
+        schedule_sampler: Optional[ScheduleSampler] = None,
+        weight_decay: float = 0.0,
+        lr_anneal_steps: int = 0,
+        val_datasets=None,
+        val_batch_size: int = 8,
+        use_ddim_for_val: bool = False,
+        mesh=None,
+        seed: int = 0,
+        init_params=None,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.data = data
+        self.batch_size = batch_size
+        self.microbatch = microbatch if microbatch > 0 else batch_size
+        assert self.batch_size % self.microbatch == 0
+        self.n_micro = self.batch_size // self.microbatch
+        self.lr = lr
+        self.ema_rate = (
+            [ema_rate] if isinstance(ema_rate, float)
+            else [float(x) for x in str(ema_rate).split(",")]
+        )
+        self.log_interval = log_interval
+        self.save_interval = save_interval
+        self.resume_checkpoint = resume_checkpoint
+        self.schedule_sampler = schedule_sampler or UniformSampler(diffusion.num_timesteps)
+        self.weight_decay = weight_decay
+        self.lr_anneal_steps = lr_anneal_steps
+        self.val_datasets = val_datasets
+        self.val_batch_size = val_batch_size
+        self.use_ddim_for_val = use_ddim_for_val
+
+        self.step = 0
+        self.resume_step = 0
+        self.global_batch = self.batch_size * max(1, jax.process_count())
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.np_rng = np.random.default_rng(seed + jax.process_index())
+        self.rng = jax.random.key(seed)
+
+        self._build_state(init_params)
+        self._maybe_resume()
+        self._place_state()
+        self._train_step = self._make_train_step()
+
+    # ------------------------------------------------------------------ init
+    def _build_state(self, init_params):
+        if init_params is None:
+            batch, cond = next(self.data)
+            # jit the init: unjitted flax init dispatches op-by-op, which is
+            # pathological on remote-compile TPU toolchains (~100s even tiny).
+            init_params = jax.jit(self.model.init)(
+                jax.random.key(0),
+                jnp.asarray(batch[: self.microbatch]),
+                jnp.zeros((self.microbatch,), jnp.float32),
+                **{k: jnp.asarray(v[: self.microbatch]) for k, v in cond.items()},
+            )["params"]
+        self.params = init_params
+
+        if self.lr_anneal_steps:
+            schedule = lambda step: self.lr * jnp.maximum(
+                0.0, 1.0 - step / self.lr_anneal_steps
+            )
+        else:
+            schedule = self.lr
+        self.opt = optax.adamw(learning_rate=schedule, weight_decay=self.weight_decay)
+        self.opt_state = self.opt.init(self.params)
+        self.ema_params = [jax.tree_util.tree_map(jnp.copy, self.params) for _ in self.ema_rate]
+
+    def _maybe_resume(self):
+        resume = self.resume_checkpoint or find_resume_checkpoint()
+        if not resume:
+            return
+        self.resume_step = ckpt.parse_resume_step_from_filename(resume)
+        logger.log(f"loading model from checkpoint: {resume}... (step {self.resume_step})")
+        self.params = ckpt.load_params(resume, self.params)
+        self.step = 0
+        for i, rate in enumerate(self.ema_rate):
+            path = ckpt.find_ema_checkpoint(resume, self.resume_step, rate)
+            if path:
+                logger.log(f"loading EMA from checkpoint: {path}...")
+                self.ema_params[i] = ckpt.load_params(path, self.ema_params[i])
+            else:
+                self.ema_params[i] = jax.tree_util.tree_map(jnp.copy, self.params)
+        ext = resume.rsplit(".", 1)[-1]
+        opt_path = os.path.join(
+            os.path.dirname(resume), ckpt.checkpoint_name("opt", self.resume_step, ext=ext)
+        )
+        if os.path.exists(opt_path) and opt_path.endswith(".flax"):
+            logger.log(f"loading optimizer state from checkpoint: {opt_path}")
+            self.opt_state = ckpt.load_flax(opt_path, self.opt_state)
+
+    def _place_state(self):
+        self.params = replicate(self.mesh, self.params)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+        self.ema_params = [replicate(self.mesh, e) for e in self.ema_params]
+
+    # ------------------------------------------------------------- train step
+    def _make_train_step(self):
+        model = self.model
+        diffusion = self.diffusion
+        opt = self.opt
+        ema_rates = tuple(self.ema_rate)
+        n_micro = self.n_micro
+        micro = self.microbatch
+
+        def loss_of_microbatch(params, x, cond, t, weights, rng):
+            dropout_rng, noise_rng = jax.random.split(rng)
+
+            def model_fn(xx, tt, **kw):
+                return model.apply(
+                    {"params": params}, xx, tt, train=True,
+                    rngs={"dropout": dropout_rng}, **kw,
+                )
+
+            noise = jax.random.normal(noise_rng, x.shape, dtype=x.dtype)
+            terms = diffusion.training_losses(model_fn, x, t, noise, model_kwargs=cond)
+            loss = jnp.mean(terms["loss"] * weights)
+            return loss, terms
+
+        def train_step(params, opt_state, ema_params, batch, cond, t, weights, rng):
+            # reshape [B, ...] -> [n_micro, micro, ...]
+            def split(x):
+                return x.reshape((n_micro, micro) + x.shape[1:])
+
+            mb = jax.tree_util.tree_map(split, (batch, cond, t, weights))
+            rngs = jax.random.split(rng, n_micro)
+
+            grad_fn = jax.value_and_grad(loss_of_microbatch, has_aux=True)
+
+            def scan_body(acc, inp):
+                (x, c, tt, w), r = inp
+                (loss, terms), grads = grad_fn(params, x, c, tt, w, r)
+                acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+                return acc, (loss, terms["loss"], terms.get("mse", terms["loss"]),
+                             terms.get("vb", jnp.zeros_like(terms["loss"])))
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, (losses, loss_vec, mse_vec, vb_vec) = jax.lax.scan(
+                scan_body, zero_grads, ((mb[0], mb[1], mb[2], mb[3]), rngs)
+            )
+
+            grad_norm = _global_norm(grads)
+            param_norm = _global_norm(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema_params = tuple(
+                optax.incremental_update(params, e, step_size=1.0 - rate)
+                for e, rate in zip(ema_params, ema_rates)
+            )
+            metrics = dict(
+                loss=jnp.mean(losses),
+                grad_norm=grad_norm,
+                param_norm=param_norm,
+                loss_vec=loss_vec.reshape(-1),
+                mse_vec=mse_vec.reshape(-1),
+                vb_vec=vb_vec.reshape(-1),
+            )
+            return params, opt_state, ema_params, metrics
+
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    # -------------------------------------------------------------- main loop
+    def run_loop(self):
+        while not self.lr_anneal_steps or self.step + self.resume_step < self.lr_anneal_steps:
+            batch, cond = next(self.data)
+            self.run_step(batch, cond)
+            if self.step % self.log_interval == 0:
+                logger.dumpkvs()
+            if self.step % self.save_interval == 0 and self.step > 0:
+                self.save()
+                self.val_sample()
+                if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
+                    return
+            self.step += 1
+        if (self.step - 1) % self.save_interval != 0:
+            self.save()
+
+    def run_step(self, batch, cond):
+        t_np, w_np = self.schedule_sampler.sample(self.batch_size, self.np_rng)
+        self.rng, step_rng = jax.random.split(self.rng)
+
+        batch = shard_batch(self.mesh, jnp.asarray(batch, dtype=jnp.float32))
+        cond = shard_batch(self.mesh, {k: jnp.asarray(v) for k, v in cond.items()})
+        t = shard_batch(self.mesh, jnp.asarray(t_np))
+        w = shard_batch(self.mesh, jnp.asarray(w_np))
+
+        self.params, self.opt_state, self.ema_params, metrics = self._train_step(
+            self.params, self.opt_state, tuple(self.ema_params), batch, cond, t, w, step_rng
+        )
+        self.ema_params = list(self.ema_params)
+
+        if isinstance(self.schedule_sampler, LossAwareSampler):
+            self.schedule_sampler.update_with_local_losses(t_np, np.asarray(metrics["loss_vec"]))
+
+        self._log_step_metrics(t_np, metrics)
+
+    def _log_step_metrics(self, t_np, metrics):
+        logger.logkv("step", self.step + self.resume_step)
+        logger.logkv(
+            "samples", (self.step + self.resume_step + 1) * self.global_batch
+        )
+        logger.logkv_mean("loss", float(metrics["loss"]))
+        logger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
+        logger.logkv_mean("param_norm", float(metrics["param_norm"]))
+        # per-quartile loss logging (train_util.py:381-387)
+        T = self.diffusion.num_timesteps
+        for name in ("loss", "mse", "vb"):
+            vec = np.asarray(metrics[f"{name}_vec"])
+            for sub_t, sub_loss in zip(t_np, vec):
+                quartile = int(4 * sub_t / T)
+                logger.logkv_mean(f"{name}_q{quartile}", float(sub_loss))
+
+    def _anneal_frac(self):
+        if not self.lr_anneal_steps:
+            return 0.0
+        return (self.step + self.resume_step) / self.lr_anneal_steps
+
+    # ------------------------------------------------------------- save / val
+    def save(self):
+        step = self.step + self.resume_step
+        out_dir = get_blob_logdir()
+        if pdist.is_primary():
+            logger.log(f"saving model at step {step}...")
+            ckpt.save_flax(
+                os.path.join(out_dir, ckpt.checkpoint_name("model", step)), self.params
+            )
+            for rate, ema in zip(self.ema_rate, self.ema_params):
+                ckpt.save_flax(
+                    os.path.join(out_dir, ckpt.checkpoint_name("ema", step, rate)), ema
+                )
+            ckpt.save_flax(
+                os.path.join(out_dir, ckpt.checkpoint_name("opt", step)), self.opt_state
+            )
+        pdist.barrier("save")
+
+    def val_sample(self, which: int | None = None, num_samples: int = 8):
+        """Sample a small grid from each val dataset (train_util.py:269-341).
+
+        Fix-forward of the reference's val bugs (SURVEY.md §0.1): val_datasets
+        is optional, and the ddim switch comes from use_ddim_for_val instead of
+        a stale args namespace.
+        """
+        if not self.val_datasets:
+            return
+        datasets = self.val_datasets if which is None else [self.val_datasets[which]]
+        for di, ds in enumerate(datasets):
+            try:
+                batch, cond = next(ds)
+            except StopIteration:
+                continue
+            n = min(num_samples, len(batch))
+            batch = jnp.asarray(batch[:n], dtype=jnp.float32)
+            cond = {k: jnp.asarray(v[:n]) for k, v in cond.items()}
+            ema = self.ema_params[0]
+
+            def model_fn(x, t, **kw):
+                return self.model.apply({"params": ema}, x, t, **kw)
+
+            self.rng, sample_rng = jax.random.split(self.rng)
+            loop = (
+                self.diffusion.ddim_sample_loop
+                if self.use_ddim_for_val
+                else self.diffusion.p_sample_loop
+            )
+            # jit the whole chain: eager scan execution/fetch is pathologically
+            # slow on remote-attached TPUs (compile hits the persistent cache).
+            run_chain = jax.jit(
+                lambda key, mk: loop(model_fn, batch.shape, key, model_kwargs=mk)
+            )
+            sample = run_chain(sample_rng, cond)
+            gathered = pdist.all_gather_host(np.asarray(sample))
+            gathered = gathered.reshape((-1,) + gathered.shape[2:])
+            if pdist.is_primary():
+                step = self.step + self.resume_step
+                out_dir = get_blob_logdir()
+                np.savez(
+                    os.path.join(out_dir, f"val_samples_{di}_{step:06d}.npz"), gathered
+                )
+                save_img(
+                    tensor2img(gathered),
+                    os.path.join(out_dir, f"val_samples_{di}_{step:06d}.png"),
+                )
+                save_img(
+                    tensor2img(np.asarray(batch)),
+                    os.path.join(out_dir, f"val_targets_{di}_{step:06d}.png"),
+                )
+        pdist.barrier("val_sample")
+
+
+def get_blob_logdir() -> str:
+    """Where checkpoints/samples go (train_util.py:359-362)."""
+    return os.environ.get("DIFFUSION_BLOB_LOGDIR", logger.get_dir())
+
+
+def find_resume_checkpoint():
+    """On-infrastructure resume discovery; stub like the reference
+    (train_util.py:365-368)."""
+    return None
+
+
+def log_loss_dict(diffusion: Diffusion, ts, losses: dict):
+    """train_util.py:381-387 parity helper for scripts that log manually."""
+    for key, values in losses.items():
+        values = np.asarray(values)
+        logger.logkv_mean(key, float(values.mean()))
+        for sub_t, sub_loss in zip(np.asarray(ts), values):
+            quartile = int(4 * sub_t / diffusion.num_timesteps)
+            logger.logkv_mean(f"{key}_q{quartile}", float(sub_loss))

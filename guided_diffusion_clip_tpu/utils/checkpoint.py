@@ -1,0 +1,109 @@
+"""Checkpoint save/load: native flax msgpack + torch .pt interop.
+
+Reference behavior (train_util.py:243-267, SURVEY.md §5.4): every
+save_interval, rank 0 writes `model{step:06d}`, one `ema_{rate}_{step:06d}`
+per EMA rate, and `opt{step:06d}`; resume parses the step from the filename
+and looks EMA/opt up by step+rate. We keep the exact naming scheme with a
+`.flax` extension (msgpack bytes via flax.serialization); `.pt` files are
+read through the torch importer, and `save_pt_copy` exports torch-compatible
+state_dicts so the reference tooling can consume our checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def init_template(model, *example_args, **example_kwargs):
+    """Parameter template (shapes/dtypes as host zeros) WITHOUT compiling.
+
+    `model.init` would jit-compile and run a full forward just to produce
+    shapes — minutes on TPU toolchains with remote compilation. jax.eval_shape
+    traces abstractly: no compile, no device work. The zeros are numpy, which
+    is exactly what the torch importer and flax deserialization need.
+    """
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), *example_args, **example_kwargs)
+    )
+    return jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes
+    )["params"]
+
+
+def setup_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (big win where compiles are
+    expensive, e.g. remote-compile TPU relays; repeat CLI runs hit the cache)."""
+    path = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def save_flax(path: str, tree) -> None:
+    host_tree = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host_tree))
+
+
+def load_flax(path: str, template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def checkpoint_name(kind: str, step: int, ema_rate: float | str | None = None, ext: str = "flax") -> str:
+    """Reference filename scheme (train_util.py:249-251)."""
+    if kind == "model":
+        return f"model{step:06d}.{ext}"
+    if kind == "ema":
+        return f"ema_{ema_rate}_{step:06d}.{ext}"
+    if kind == "opt":
+        return f"opt{step:06d}.{ext}"
+    raise ValueError(kind)
+
+
+def parse_resume_step_from_filename(filename: str) -> int:
+    """model123456(.pt|.flax) -> 123456; 0 if unparseable (train_util.py:344-356)."""
+    base = os.path.basename(filename)
+    m = re.match(r"^model(\d+)\.\w+$", base)
+    if not m:
+        return 0
+    try:
+        return int(m.group(1))
+    except ValueError:
+        return 0
+
+
+def find_ema_checkpoint(main_checkpoint: str | None, step: int, rate) -> str | None:
+    """Locate the EMA file next to the model checkpoint (train_util.py:371-378)."""
+    if main_checkpoint is None:
+        return None
+    ext = main_checkpoint.rsplit(".", 1)[-1]
+    filename = checkpoint_name("ema", step, rate, ext=ext)
+    path = os.path.join(os.path.dirname(main_checkpoint), filename)
+    return path if os.path.exists(path) else None
+
+
+def load_params(path: str, template, *, model: str = "unet", pool: str | None = None):
+    """Load model params from either a native .flax file or a torch .pt."""
+    if path.endswith(".pt"):
+        from .torch_import import load_pt_checkpoint
+
+        return load_pt_checkpoint(path, template, model=model, pool=pool)
+    return load_flax(path, template)
+
+
+def save_pt_copy(path: str, params, *, model: str = "unet", pool: str | None = None) -> None:
+    """Write a torch-compatible state_dict so reference tooling can load it."""
+    import torch
+
+    from .torch_import import export_to_torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in export_to_torch(params, model=model, pool=pool).items()}
+    torch.save(sd, path)

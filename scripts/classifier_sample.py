@@ -1,0 +1,139 @@
+"""Classifier-guided sampling (reference scripts/classifier_sample.py).
+
+The guidance gradient (jax.grad of the selected log-softmax through the noised
+classifier) is composed inside the same scanned denoise step as the UNet
+forward — one XLA program per batch, no per-step autograd dispatch.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guided_diffusion_clip_tpu.diffusion.guidance import classifier_cond_fn, model_fn_dropping_y
+from guided_diffusion_clip_tpu.parallel import dist as pdist
+from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
+from guided_diffusion_clip_tpu.utils.script_util import (
+    NUM_CLASSES,
+    add_dict_to_argparser,
+    args_to_dict,
+    classifier_defaults,
+    create_classifier,
+    create_model_and_diffusion,
+    create_upstream_model,
+    model_and_diffusion_defaults,
+    parse_yaml,
+)
+
+
+def main():
+    args = create_argparser().parse_args()
+    args = parse_yaml(args)
+
+    pdist.setup_dist()
+    logger.configure(args=args)
+
+    logger.log("creating model and diffusion...")
+    # Guided sampling drives the upstream class-conditional UNet (the released
+    # ADM checkpoints use an nn.Embedding label table, not the CLIP MLP).
+    _, diffusion = create_model_and_diffusion(
+        **args_to_dict(args, model_and_diffusion_defaults().keys())
+    )
+    mkeys = [k for k in model_and_diffusion_defaults() if k in (
+        "image_size", "num_channels", "num_res_blocks", "channel_mult", "learn_sigma",
+        "class_cond", "use_checkpoint", "attention_resolutions", "num_heads",
+        "num_head_channels", "num_heads_upsample", "use_scale_shift_norm", "dropout",
+        "resblock_updown", "use_fp16", "use_new_attention_order",
+    )]
+    model = create_upstream_model(**args_to_dict(args, mkeys))
+
+    setup_compilation_cache()
+    B = args.batch_size
+    shape = (B, args.image_size, args.image_size, 3)
+    y0 = jnp.zeros((B,), jnp.int32)
+    template = init_template(
+        model, jnp.zeros(shape), jnp.zeros((B,)),
+        y=y0 if args.class_cond else None,
+    )
+    params = load_params(args.model_path, template)
+
+    logger.log("loading classifier...")
+    classifier = create_classifier(**args_to_dict(args, classifier_defaults().keys()))
+    ctemplate = init_template(classifier, jnp.zeros(shape), jnp.zeros((B,)))
+    cparams = load_params(
+        args.classifier_path, ctemplate, model="encoder", pool=args.classifier_pool
+    )
+
+    def unet_fn(x, t, **kw):
+        return model.apply({"params": params}, x, t, **kw)
+
+    def classifier_fn(x, t):
+        return classifier.apply({"params": cparams}, x, t)
+
+    cond_fn = classifier_cond_fn(classifier_fn, args.classifier_scale)
+    model_fn = model_fn_dropping_y(unet_fn, args.class_cond)
+
+    loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
+
+    @jax.jit
+    def run_chain(key, classes):
+        return loop(
+            model_fn, shape, key,
+            clip_denoised=args.clip_denoised,
+            model_kwargs={"y": classes},
+            cond_fn=cond_fn,
+        )
+
+    logger.log("sampling...")
+    rng = jax.random.key(args.seed)
+    all_images, all_labels = [], []
+    while len(all_images) * B < args.num_samples:
+        rng, class_rng, sample_rng = jax.random.split(rng, 3)
+        # Fix-forward: the fork sets NUM_CLASSES=512 (CLIP dim), which would
+        # wrongly restrict upstream ImageNet guidance to 512 classes; the
+        # classifier/label table have 1000 (script_util.py:261).
+        classes = jax.random.randint(class_rng, (B,), 0, 1000, dtype=jnp.int32)
+        sample = run_chain(sample_rng, classes)
+        sample_u8 = ((np.asarray(sample) + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        all_images.extend(list(pdist.all_gather_host(sample_u8)))
+        all_labels.extend(list(pdist.all_gather_host(np.asarray(classes))))
+        logger.log(f"created {len(all_images) * B} samples")
+
+    arr = np.concatenate(all_images, axis=0)[: args.num_samples]
+    label_arr = np.concatenate(all_labels, axis=0)[: args.num_samples]
+    if pdist.is_primary():
+        shape_str = "x".join(str(x) for x in arr.shape)
+        out_path = os.path.join(logger.get_dir(), f"samples_{shape_str}.npz")
+        logger.log(f"saving to {out_path}")
+        np.savez(out_path, arr, label_arr)
+    pdist.barrier("sampling")
+    logger.log("sampling complete")
+
+
+def create_argparser():
+    defaults = dict(
+        clip_denoised=True,
+        num_samples=10000,
+        batch_size=16,
+        use_ddim=False,
+        model_path="",
+        classifier_path="",
+        classifier_scale=1.0,
+        main_path="",
+        seed=0,
+    )
+    defaults.update(model_and_diffusion_defaults())
+    defaults.update(classifier_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

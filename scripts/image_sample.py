@@ -1,0 +1,147 @@
+"""Generate CLIP-conditioned samples from a trained model
+(reference scripts/image_sample.py).
+
+The whole denoise chain is one jitted lax.scan per batch; samples are saved as
+PNG grids per batch and a final npz for FID evaluation (the reference's npz
+path is restored — it was commented out upstream, image_sample.py:119-133).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guided_diffusion_clip_tpu.data.image_datasets import load_data
+from guided_diffusion_clip_tpu.parallel import dist as pdist
+from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
+from guided_diffusion_clip_tpu.utils.sample_util import add_delta_imgimg
+from guided_diffusion_clip_tpu.utils.saving_imgs import save_img, tensor2img
+from guided_diffusion_clip_tpu.utils.script_util import (
+    add_dict_to_argparser,
+    args_to_dict,
+    create_model_and_diffusion,
+    load_folder_path_parse,
+    model_and_diffusion_defaults,
+    parse_yaml,
+)
+
+
+def main():
+    args = create_argparser().parse_args()
+    args = parse_yaml(args)
+    load_folder_path_parse(args)
+    if getattr(args, "main_path", None) and getattr(args, "sub_dir_tstsave", None):
+        args.main_path = os.path.join(args.main_path, args.sub_dir_tstsave)
+
+    pdist.setup_dist()
+    logger.configure(args=args)
+    logger.log("\n\t".join(f"{k} = {v}" for k, v in vars(args).items()))
+
+    logger.log("creating model and diffusion...")
+    model, diffusion = create_model_and_diffusion(
+        **args_to_dict(args, model_and_diffusion_defaults().keys())
+    )
+
+    setup_compilation_cache()
+    rng = jax.random.key(args.seed)
+    shape = (args.batch_size, args.image_size, args.image_size, 3)
+    template = init_template(
+        model, jnp.zeros(shape), jnp.zeros((args.batch_size,)),
+        clip_feat=jnp.zeros((args.batch_size, 512)) if args.class_cond else None,
+    )
+    params = load_params(args.model_path, template)
+
+    def model_fn(x, t, **kw):
+        return model.apply({"params": params}, x, t, **kw)
+
+    logger.log("loading data...")
+    data = load_data(
+        data_dir=args.data_dir_test,
+        batch_size=args.batch_size,
+        image_size=args.image_size,
+        class_cond=args.class_cond,
+        deterministic=True,
+        random_crop=False,
+        random_flip=False,
+        clip_file_path=args.clip_file_path_test or None,
+    )
+
+    dsp = args.denoise_start_point
+    dsp = -1 if dsp in (None, "None", "") else int(dsp)
+
+    loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
+
+    # One jitted program for the entire denoise chain; eager dispatch is
+    # pathologically slow on remote-attached TPUs.
+    @jax.jit
+    def run_chain(key, model_kwargs, init_image=None):
+        return loop(
+            model_fn, shape, key,
+            clip_denoised=args.clip_denoised,
+            model_kwargs=model_kwargs,
+            denoise_start_point=dsp,
+            init_image=init_image,
+        )
+
+    logger.log("sampling...")
+    all_images = []
+    counter = 0
+    while len(all_images) * args.batch_size < args.num_samples:
+        imgs, kwargs = next(data)
+        kwargs = add_delta_imgimg(kwargs)
+        model_kwargs = {k: jnp.asarray(v) for k, v in kwargs.items()}
+        init_image = model_kwargs.get("img2") if dsp != -1 else None
+
+        rng, sample_rng = jax.random.split(rng)
+        sample = run_chain(sample_rng, model_kwargs, init_image)
+        sample_np = np.asarray(sample)
+        sample_u8 = ((sample_np + 1) * 127.5).clip(0, 255).astype(np.uint8)
+
+        save_img(tensor2img(sample_np), os.path.join(logger.get_dir(), f"samples_test{counter}.png"))
+        save_img(tensor2img(np.asarray(imgs)), os.path.join(logger.get_dir(), f"target_{counter}.png"))
+        counter += 1
+
+        gathered = pdist.all_gather_host(sample_u8)
+        all_images.extend(list(gathered))
+        logger.log(f"created {len(all_images) * args.batch_size} samples")
+
+    arr = np.concatenate(all_images, axis=0)[: args.num_samples]
+    if pdist.is_primary():
+        shape_str = "x".join(str(x) for x in arr.shape)
+        out_path = os.path.join(logger.get_dir(), f"samples_{shape_str}.npz")
+        logger.log(f"saving to {out_path}")
+        np.savez(out_path, arr)
+    pdist.barrier("sampling")
+    logger.log("sampling complete")
+
+
+def create_argparser():
+    defaults = dict(
+        clip_denoised=True,
+        num_samples=10000,
+        batch_size=16,
+        use_ddim=False,
+        model_path="",
+        denoise_start_point=-1,
+        data_dir_test="",
+        clip_file_path_test="",
+        main_path="",
+        sub_dir_tstsave="",
+        load_file="",
+        f="",
+        seed=0,
+    )
+    defaults.update(model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

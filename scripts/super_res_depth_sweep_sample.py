@@ -1,0 +1,125 @@
+"""Sweep denoise_start_point over test images
+(reference scripts/super_res_depth_sweep_sample.py).
+
+For each depth t0 in range(500, 1000, 199), start from q_sample(img2, t0) and
+denoise to 0, saving a PNG per depth (reference :62, :95-96). Fix-forward
+(SURVEY.md §0.1): denoise_start_point is an int, not a tuple.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guided_diffusion_clip_tpu.data.image_datasets import load_data
+from guided_diffusion_clip_tpu.parallel import dist as pdist
+from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
+from guided_diffusion_clip_tpu.utils.sample_util import process1
+from guided_diffusion_clip_tpu.utils.saving_imgs import save_img, tensor2img
+from guided_diffusion_clip_tpu.utils.script_util import (
+    add_dict_to_argparser,
+    args_to_dict,
+    load_folder_path_parse,
+    model_and_diffusion_defaults,
+    create_model_and_diffusion,
+    parse_yaml,
+)
+
+
+def main():
+    args = create_argparser().parse_args()
+    args = parse_yaml(args)
+    load_folder_path_parse(args)
+    if getattr(args, "main_path", None) and getattr(args, "sub_dir_tstsave", None):
+        args.main_path = os.path.join(args.main_path, args.sub_dir_tstsave)
+
+    pdist.setup_dist()
+    logger.configure(args=args)
+    logger.log("\n\t".join(f"{k} = {v}" for k, v in vars(args).items()))
+
+    logger.log("creating model and diffusion...")
+    model, diffusion = create_model_and_diffusion(
+        **args_to_dict(args, model_and_diffusion_defaults().keys())
+    )
+    setup_compilation_cache()
+    B = args.batch_size
+    shape = (B, args.image_size, args.image_size, 3)
+    template = init_template(
+        model, jnp.zeros(shape), jnp.zeros((B,)),
+        clip_feat=jnp.zeros((B, 512)) if args.class_cond else None,
+    )
+    params = load_params(args.model_path, template)
+
+    def model_fn(x, t, **kw):
+        return model.apply({"params": params}, x, t, **kw)
+
+    logger.log("loading data...")
+    data = load_data(
+        data_dir=args.data_dir_test,
+        batch_size=B,
+        image_size=args.image_size,
+        class_cond=args.class_cond,
+        deterministic=True,
+        random_crop=False,
+        random_flip=False,
+        clip_file_path=args.clip_file_path_test or None,
+    )
+
+    imgs, kwargs = next(data)
+    kwargs = process1(kwargs)
+    model_kwargs = {k: jnp.asarray(v) for k, v in kwargs.items()}
+    imgs_start = model_kwargs.get("img2", jnp.asarray(imgs))
+
+    rng = jax.random.key(args.seed)
+    depths = list(range(500, 1000, 199))  # reference :62
+    T = diffusion.num_timesteps
+    for depth in depths:
+        # depths are in original-T units; clamp into the respaced chain
+        st = min(int(round(depth * T / diffusion.sched.original_num_steps)), T)
+        rng, sample_rng = jax.random.split(rng)
+        run_chain = jax.jit(
+            lambda key, mk, init: diffusion.p_sample_loop(
+                model_fn, shape, key,
+                clip_denoised=args.clip_denoised, model_kwargs=mk,
+                denoise_start_point=st, init_image=init,
+            )
+        )
+        sample = run_chain(sample_rng, model_kwargs, imgs_start)
+        out = os.path.join(logger.get_dir(), f"depth_{depth}.png")
+        save_img(tensor2img(np.asarray(sample)), out)
+        logger.log(f"depth {depth} (respaced {st}) -> {out}")
+    save_img(tensor2img(np.asarray(imgs)), os.path.join(logger.get_dir(), "target.png"))
+    save_img(tensor2img(np.asarray(imgs_start)), os.path.join(logger.get_dir(), "start.png"))
+    logger.log("sweep complete")
+
+
+def create_argparser():
+    defaults = dict(
+        clip_denoised=True,
+        num_samples=8,
+        batch_size=8,
+        use_ddim=False,
+        model_path="",
+        data_dir_test="",
+        clip_file_path_test="",
+        main_path="",
+        sub_dir_tstsave="",
+        load_file="",
+        f="",
+        seed=0,
+        denoise_start_point=-1,
+    )
+    defaults.update(model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

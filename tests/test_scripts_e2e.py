@@ -1,0 +1,144 @@
+"""End-to-end CLI integration tests: train -> checkpoint -> sample.
+
+The TPU analog of the reference's DIFFUSION_TRAINING_TEST escape hatch
+(train_util.py:174-177) on tiny synthetic data, run through the real scripts
+as subprocesses on the virtual CPU mesh.
+"""
+
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_FLAGS = [
+    "--image_size", "16",
+    "--num_channels", "32",
+    "--num_res_blocks", "1",
+    "--num_heads", "2",
+    "--attention_resolutions", "8",
+    "--channel_mult", "1,2",
+    "--diffusion_steps", "40",
+    "--noise_schedule", "cosine",
+    "--learn_sigma", "True",
+    "--rescale_learned_sigmas", "True",
+]
+
+
+def run_script(name, flags, env_extra=None, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.update(env_extra or {})
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", name), *flags],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout,
+    )
+    assert proc.returncode == 0, f"{name} failed:\nSTDOUT:{proc.stdout[-3000:]}\nSTDERR:{proc.stderr[-3000:]}"
+    return proc
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    img_dir = root / "imgs"
+    img_dir.mkdir()
+    rs = np.random.RandomState(0)
+    clip = {}
+    for i in range(16):
+        name = f"img_{i:03d}.png"
+        arr = rs.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / name)
+        clip[name] = rs.randn(2, 512).astype(np.float32)  # flip-indexed
+    clip_path = root / "clip_dict.npz"
+    np.savez(clip_path, **clip)
+    return str(img_dir), str(clip_path), str(root)
+
+
+class TestTrainSampleRoundTrip:
+    def test_image_train_and_sample(self, dataset, tmp_path):
+        img_dir, clip_path, _ = dataset
+        run_dir = str(tmp_path / "run")
+        os.makedirs(run_dir)
+        run_script(
+            "image_train.py",
+            [
+                *TINY_FLAGS,
+                "--data_dir", img_dir,
+                "--clip_file_path", clip_path,
+                "--class_cond", "True",
+                "--batch_size", "8",
+                "--save_interval", "2",
+                "--log_interval", "1",
+                "--val_batch_size", "4",
+            ],
+            env_extra={
+                "DIFFUSION_TRAINING_TEST": "1",
+                "OPENAI_LOGDIR": run_dir,
+                "OPENAI_LOG_FORMAT": "log,csv",
+            },
+        )
+        ckpts = sorted(glob.glob(os.path.join(run_dir, "model*.flax")))
+        assert ckpts, f"no checkpoints in {os.listdir(run_dir)}"
+        assert glob.glob(os.path.join(run_dir, "ema_0.9999_*.flax"))
+        assert glob.glob(os.path.join(run_dir, "opt*.flax"))
+        # val sampling artifacts (train_util.py:269-341 parity)
+        assert glob.glob(os.path.join(run_dir, "val_samples_0_*.png"))
+        assert os.path.exists(os.path.join(run_dir, "progress.csv"))
+
+        sample_dir = str(tmp_path / "samples")
+        os.makedirs(sample_dir)
+        run_script(
+            "image_sample.py",
+            [
+                *TINY_FLAGS,
+                "--timestep_respacing", "5",
+                "--model_path", ckpts[-1],
+                "--data_dir_test", img_dir,
+                "--clip_file_path_test", clip_path,
+                "--class_cond", "True",
+                "--batch_size", "4",
+                "--num_samples", "8",
+            ],
+            env_extra={"OPENAI_LOGDIR": sample_dir, "OPENAI_LOG_FORMAT": "log"},
+        )
+        pngs = glob.glob(os.path.join(sample_dir, "samples_test*.png"))
+        npzs = glob.glob(os.path.join(sample_dir, "samples_*.npz"))
+        assert pngs and npzs
+        arr = np.load(npzs[0])["arr_0"]
+        assert arr.shape == (8, 16, 16, 3) and arr.dtype == np.uint8
+
+    def test_classifier_train_smoke(self, dataset, tmp_path):
+        img_dir, _, _ = dataset
+        run_dir = str(tmp_path / "cls")
+        os.makedirs(run_dir)
+        run_script(
+            "classifier_train.py",
+            [
+                # 64 is the smallest size with a channel_mult preset
+                # (script_util.py:149-159) — same restriction as the reference.
+                "--image_size", "64",
+                "--classifier_width", "32",
+                "--classifier_depth", "1",
+                "--classifier_attention_resolutions", "8",
+                "--classifier_pool", "adaptive",
+                "--diffusion_steps", "40",
+                "--noise_schedule", "cosine",
+                "--data_dir", img_dir,
+                "--batch_size", "2",
+                "--iterations", "3",
+                "--save_interval", "2",
+                "--log_interval", "1",
+            ],
+            env_extra={
+                "DIFFUSION_TRAINING_TEST": "1",
+                "OPENAI_LOGDIR": run_dir,
+                "OPENAI_LOG_FORMAT": "log",
+            },
+        )
+        assert glob.glob(os.path.join(run_dir, "model*.flax"))
