@@ -1,0 +1,147 @@
+"""Headline benchmark: 256x256, 250-step classifier-guided sampling throughput.
+
+Measures the BASELINE.json north-star config on the attached TPU chip: the
+ADM-G 256px UNet (learn_sigma, scale-shift norm, resblock up/down, head-ch 64,
+bf16 torso) guided by the 128-wide EncoderUNet classifier, with the classifier
+gradient composed into a single scanned 250-step denoise chain.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against an A100 PyTorch reference estimate of
+2.5 samples/min/chip (no throughput numbers exist in the reference repo —
+BASELINE.md; estimate derived from public ADM-G 256px timings: ~0.4-0.5 s per
+guided denoise step at batch 4 in fp16, i.e. 250 steps -> ~2 min/batch-of-4).
+
+Env knobs: BENCH_BATCH (default 4), BENCH_STEPS (default 250),
+BENCH_IMAGE_SIZE (default 256), BENCH_REPEATS (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_BASELINE_SAMPLES_PER_MIN = 2.5  # estimated; see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from guided_diffusion_clip_tpu.diffusion.guidance import (
+        classifier_cond_fn,
+        model_fn_dropping_y,
+    )
+    from guided_diffusion_clip_tpu.utils.checkpoint import (
+        init_template,
+        setup_compilation_cache,
+    )
+    from guided_diffusion_clip_tpu.utils.script_util import (
+        create_classifier,
+        create_gaussian_diffusion,
+        create_upstream_model,
+    )
+
+    setup_compilation_cache()
+
+    B = int(os.environ.get("BENCH_BATCH", 4))
+    steps = int(os.environ.get("BENCH_STEPS", 250))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+
+    # ADM-G 256px published config (reference README.md:123-130 flags)
+    model = create_upstream_model(
+        image_size=image_size,
+        num_channels=256 if image_size == 256 else 192,
+        num_res_blocks=2 if image_size == 256 else 3,
+        channel_mult="",
+        learn_sigma=True,
+        class_cond=True,
+        use_checkpoint=False,
+        attention_resolutions="32,16,8",
+        num_heads=4,
+        num_head_channels=64,
+        num_heads_upsample=-1,
+        use_scale_shift_norm=True,
+        dropout=0.0,
+        resblock_updown=True,
+        use_fp16=True,  # bf16 torso on TPU
+        use_new_attention_order=False,
+    )
+    classifier = create_classifier(
+        image_size=image_size,
+        classifier_use_fp16=True,
+        classifier_width=128,
+        classifier_depth=2,
+        classifier_attention_resolutions="32,16,8",
+        classifier_use_scale_shift_norm=True,
+        classifier_resblock_updown=True,
+        classifier_pool="attention",
+    )
+    diffusion = create_gaussian_diffusion(
+        steps=1000, learn_sigma=True, noise_schedule="linear",
+        timestep_respacing=str(steps),
+    )
+
+    shape = (B, image_size, image_size, 3)
+    rng = jax.random.key(0)
+    p_rng, c_rng, rng = jax.random.split(rng, 3)
+
+    # random-init params (perf benchmark; checkpoints load identically)
+    params = jax.jit(model.init)(
+        p_rng, jnp.zeros(shape), jnp.zeros((B,)), y=jnp.zeros((B,), jnp.int32)
+    )["params"]
+    cparams = jax.jit(classifier.init)(c_rng, jnp.zeros(shape), jnp.zeros((B,)))["params"]
+
+    # params go through jit ARGUMENTS: closure capture would bake ~2.4GB of
+    # weights into the executable as constants (slow compile, duplicated HBM).
+    @jax.jit
+    def run_chain(params, cparams, key, classes):
+        def unet_fn(x, t, **kw):
+            return model.apply({"params": params}, x, t, **kw)
+
+        def classifier_fn(x, t):
+            return classifier.apply({"params": cparams}, x, t)
+
+        cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
+        model_fn = model_fn_dropping_y(unet_fn, class_cond=True)
+        return diffusion.p_sample_loop(
+            model_fn, shape, key, model_kwargs={"y": classes}, cond_fn=cond_fn
+        )
+
+    classes = jnp.zeros((B,), jnp.int32)
+
+    # warmup / compile
+    t0 = time.time()
+    jax.block_until_ready(run_chain(params, cparams, jax.random.key(1), classes))
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        jax.block_until_ready(run_chain(params, cparams, jax.random.key(2 + i), classes))
+        times.append(time.time() - t0)
+    best = min(times)
+
+    steps_per_sec = steps / best
+    samples_per_min = B * 60.0 / best
+    result = {
+        "metric": f"samples/min/chip ({image_size}x{image_size}, {steps}-step classifier-guided, batch {B}, bf16)",
+        "value": round(samples_per_min, 3),
+        "unit": "samples/min",
+        "vs_baseline": round(samples_per_min / A100_BASELINE_SAMPLES_PER_MIN, 3),
+        "steps_per_sec_per_chip": round(steps_per_sec, 3),
+        "sec_per_batch": round(best, 3),
+        "compile_sec": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+        "baseline_estimate": f"{A100_BASELINE_SAMPLES_PER_MIN} samples/min on A100 (PyTorch fp16, estimated; reference publishes no throughput)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

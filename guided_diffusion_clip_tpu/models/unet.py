@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import qkv_attention
+from ..ops.attention import attention as qkv_attention_dispatch
 from .nn import (
     Conv,
     Dense,
@@ -215,7 +215,7 @@ class AttentionBlock(nn.Module):
         hn = GroupNorm32(name="norm")(h)
         # 1x1 conv1d == Dense over the channel axis (qkv, unet.py:286).
         qkv = Dense(3 * C, dtype=self.dtype, name="qkv")(hn)
-        a = qkv_attention(qkv, self.num_heads, new_order=self.use_new_attention_order)
+        a = qkv_attention_dispatch(qkv, self.num_heads, new_order=self.use_new_attention_order)
         a = Dense(C, zero=True, dtype=self.dtype, name="proj_out")(a)
         return (h + a).reshape(B, H, W, C)
 
@@ -274,7 +274,7 @@ class AttentionPool2d(nn.Module):
         )
         h = h + pos[None].astype(h.dtype)
         qkv = Dense(3 * C, dtype=self.dtype, name="qkv_proj")(h)
-        a = qkv_attention(qkv, C // self.num_head_channels, new_order=True)
+        a = qkv_attention_dispatch(qkv, C // self.num_head_channels, new_order=True)
         a = Dense(self.output_dim, dtype=self.dtype, name="c_proj")(a)
         return a[:, 0]
 

@@ -55,3 +55,17 @@ def qkv_attention(qkv: jax.Array, num_heads: int, *, new_order: bool = False) ->
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("bhts,bshd->bthd", weights, v)
     return merge_heads(out)
+
+
+def attention(qkv: jax.Array, num_heads: int, *, new_order: bool = False) -> jax.Array:
+    """Implementation-dispatching entry point used by the models."""
+    from .config import resolve_attention_impl
+
+    impl = resolve_attention_impl()
+    if impl == "xla":
+        return qkv_attention(qkv, num_heads, new_order=new_order)
+    from .pallas_attention import qkv_attention_pallas
+
+    return qkv_attention_pallas(
+        qkv, num_heads, new_order=new_order, interpret=(impl == "pallas_interpret")
+    )

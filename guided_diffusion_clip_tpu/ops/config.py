@@ -1,0 +1,31 @@
+"""Kernel implementation selection.
+
+`attention_impl`: "auto" (Pallas on TPU, XLA elsewhere), "xla", "pallas", or
+"pallas_interpret" (CPU-testable). Settable via GDC_ATTENTION_IMPL or
+set_attention_impl(); read at trace time, so switch before jit.
+"""
+
+from __future__ import annotations
+
+import os
+
+_attention_impl = os.environ.get("GDC_ATTENTION_IMPL", "auto")
+
+
+def set_attention_impl(impl: str) -> None:
+    global _attention_impl
+    assert impl in ("auto", "xla", "pallas", "pallas_interpret"), impl
+    _attention_impl = impl
+
+
+def get_attention_impl() -> str:
+    return _attention_impl
+
+
+def resolve_attention_impl() -> str:
+    import jax
+
+    impl = _attention_impl
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return impl

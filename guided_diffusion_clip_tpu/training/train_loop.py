@@ -316,10 +316,6 @@ class TrainLoop:
             n = min(num_samples, len(batch))
             batch = jnp.asarray(batch[:n], dtype=jnp.float32)
             cond = {k: jnp.asarray(v[:n]) for k, v in cond.items()}
-            ema = self.ema_params[0]
-
-            def model_fn(x, t, **kw):
-                return self.model.apply({"params": ema}, x, t, **kw)
 
             self.rng, sample_rng = jax.random.split(self.rng)
             loop = (
@@ -327,12 +323,16 @@ class TrainLoop:
                 if self.use_ddim_for_val
                 else self.diffusion.p_sample_loop
             )
-            # jit the whole chain: eager scan execution/fetch is pathologically
-            # slow on remote-attached TPUs (compile hits the persistent cache).
-            run_chain = jax.jit(
-                lambda key, mk: loop(model_fn, batch.shape, key, model_kwargs=mk)
-            )
-            sample = run_chain(sample_rng, cond)
+
+            # jit the whole chain (eager scan dispatch is pathologically slow
+            # on remote-attached TPUs); params as jit args, not constants.
+            def _chain(ema, key, mk):
+                def model_fn(x, t, **kw):
+                    return self.model.apply({"params": ema}, x, t, **kw)
+
+                return loop(model_fn, batch.shape, key, model_kwargs=mk)
+
+            sample = jax.jit(_chain)(self.ema_params[0], sample_rng, cond)
             gathered = pdist.all_gather_host(np.asarray(sample))
             gathered = gathered.reshape((-1,) + gathered.shape[2:])
             if pdist.is_primary():

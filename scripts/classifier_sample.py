@@ -70,19 +70,18 @@ def main():
         args.classifier_path, ctemplate, model="encoder", pool=args.classifier_pool
     )
 
-    def unet_fn(x, t, **kw):
-        return model.apply({"params": params}, x, t, **kw)
-
-    def classifier_fn(x, t):
-        return classifier.apply({"params": cparams}, x, t)
-
-    cond_fn = classifier_cond_fn(classifier_fn, args.classifier_scale)
-    model_fn = model_fn_dropping_y(unet_fn, args.class_cond)
-
     loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
 
     @jax.jit
-    def run_chain(key, classes):
+    def run_chain(params, cparams, key, classes):
+        def unet_fn(x, t, **kw):
+            return model.apply({"params": params}, x, t, **kw)
+
+        def classifier_fn(x, t):
+            return classifier.apply({"params": cparams}, x, t)
+
+        cond_fn = classifier_cond_fn(classifier_fn, args.classifier_scale)
+        model_fn = model_fn_dropping_y(unet_fn, args.class_cond)
         return loop(
             model_fn, shape, key,
             clip_denoised=args.clip_denoised,
@@ -99,7 +98,7 @@ def main():
         # wrongly restrict upstream ImageNet guidance to 512 classes; the
         # classifier/label table have 1000 (script_util.py:261).
         classes = jax.random.randint(class_rng, (B,), 0, 1000, dtype=jnp.int32)
-        sample = run_chain(sample_rng, classes)
+        sample = run_chain(params, cparams, sample_rng, classes)
         sample_u8 = ((np.asarray(sample) + 1) * 127.5).clip(0, 255).astype(np.uint8)
         all_images.extend(list(pdist.all_gather_host(sample_u8)))
         all_labels.extend(list(pdist.all_gather_host(np.asarray(classes))))

@@ -1,0 +1,160 @@
+"""CLIP-guided sampling: steer the diffusion model with a CLIP similarity
+gradient (the technique described in the reference model card,
+model-card.md:45-48; BASELINE config 4).
+
+The CLIP image encoder runs inside the scanned denoise step; the guidance
+gradient is jax.grad of cosine similarity to a target embedding — from a
+reference image (--target_image) or a precomputed/text embedding npz
+(--target_embed). Supports a scale sweep via a comma list in --clip_scale.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guided_diffusion_clip_tpu.models.clip_vit import (
+    CLIPConfig,
+    CLIPVisionEncoder,
+    clip_guidance_cond_fn,
+    import_clip_torch_state_dict,
+    import_openai_clip_pt,
+    preprocess_for_clip,
+)
+from guided_diffusion_clip_tpu.parallel import dist as pdist
+from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.checkpoint import (
+    init_template,
+    load_params,
+    setup_compilation_cache,
+)
+from guided_diffusion_clip_tpu.utils.saving_imgs import save_img, tensor2img
+from guided_diffusion_clip_tpu.utils.script_util import (
+    add_dict_to_argparser,
+    args_to_dict,
+    create_model_and_diffusion,
+    model_and_diffusion_defaults,
+    parse_yaml,
+)
+
+
+def load_clip_vision_params(path: str, cfg: CLIPConfig):
+    """Load CLIP weights from an HF CLIPModel .bin/.pt or OpenAI CLIP .pt."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if any(k.startswith("visual.") for k in sd):
+        vision, _, _ = import_openai_clip_pt(sd, cfg)
+    else:
+        vision, _, _ = import_clip_torch_state_dict(sd, cfg)
+    return vision
+
+
+def main():
+    args = create_argparser().parse_args()
+    args = parse_yaml(args)
+
+    pdist.setup_dist()
+    logger.configure(args=args)
+    setup_compilation_cache()
+
+    logger.log("creating model and diffusion...")
+    model, diffusion = create_model_and_diffusion(
+        **args_to_dict(args, model_and_diffusion_defaults().keys())
+    )
+    B = args.batch_size
+    shape = (B, args.image_size, args.image_size, 3)
+    template = init_template(
+        model, jnp.zeros(shape), jnp.zeros((B,)),
+        clip_feat=jnp.zeros((B, 512)) if args.class_cond else None,
+    )
+    params = load_params(args.model_path, template)
+
+    logger.log("loading CLIP...")
+    clip_cfg = CLIPConfig()
+    clip_vision = CLIPVisionEncoder(clip_cfg)
+    vparams = load_clip_vision_params(args.clip_model_path, clip_cfg)
+
+    def embed_fn(pixels):
+        return clip_vision.apply({"params": vparams}, pixels)
+
+    # target embedding: reference image or precomputed npz (e.g. text embed)
+    if args.target_image:
+        from PIL import Image
+
+        img = Image.open(args.target_image).convert("RGB")
+        arr = np.asarray(img, np.float32) / 127.5 - 1.0
+        target = embed_fn(preprocess_for_clip(jnp.asarray(arr)[None]))[0]
+    elif args.target_embed:
+        target = jnp.asarray(np.load(args.target_embed)["arr_0"]).reshape(-1)
+    else:
+        raise SystemExit("provide --target_image or --target_embed")
+
+    scales = [float(s) for s in str(args.clip_scale).split(",")]
+    rng = jax.random.key(args.seed)
+    for scale in scales:
+        def _chain(params, vparams, key, scale=scale):
+            def model_fn(x, t, **kw):
+                if args.class_cond:
+                    # condition on the target embedding itself (fork pathway)
+                    kw = dict(kw, clip_feat=jnp.broadcast_to(target, (B, target.shape[-1])))
+                return model.apply({"params": params}, x, t, **kw)
+
+            def embed(pixels):
+                return clip_vision.apply({"params": vparams}, pixels)
+
+            cond_fn = clip_guidance_cond_fn(
+                embed, target, scale=scale,
+                sched=diffusion.sched, mean_type=diffusion.mean_type,
+                var_type=diffusion.var_type, model_fn=model_fn,
+                use_pred_xstart=args.grad_through_pred_xstart,
+            )
+            loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
+            return loop(
+                model_fn, shape, key,
+                clip_denoised=args.clip_denoised, cond_fn=cond_fn,
+            )
+
+        rng, sample_rng = jax.random.split(rng)
+        sample = jax.jit(_chain)(params, vparams, sample_rng)
+        out = os.path.join(logger.get_dir(), f"clip_guided_scale{scale:g}.png")
+        save_img(tensor2img(np.asarray(sample)), out)
+        if pdist.is_primary():
+            np.savez(
+                os.path.join(logger.get_dir(), f"clip_guided_scale{scale:g}.npz"),
+                ((np.asarray(sample) + 1) * 127.5).clip(0, 255).astype(np.uint8),
+            )
+        logger.log(f"scale {scale} -> {out}")
+    logger.log("clip-guided sampling complete")
+
+
+def create_argparser():
+    defaults = dict(
+        clip_denoised=True,
+        num_samples=8,
+        batch_size=8,
+        use_ddim=False,
+        model_path="",
+        clip_model_path="",
+        target_image="",
+        target_embed="",
+        clip_scale="100.0",
+        grad_through_pred_xstart=True,
+        main_path="",
+        seed=0,
+    )
+    defaults.update(model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)
+    return parser
+
+
+if __name__ == "__main__":
+    main()

@@ -47,8 +47,11 @@ def main():
     )
     params = load_params(args.model_path, template)
 
-    def model_fn(x, t, **kw):
-        return model.apply({"params": params}, x, t, **kw)
+    def make_model_fn(p):
+        def model_fn(x, t, **kw):
+            return model.apply({"params": p}, x, t, **kw)
+
+        return model_fn
 
     logger.log("creating data loader...")
     data = load_data(
@@ -61,26 +64,26 @@ def main():
     )
 
     logger.log("evaluating...")
-    run_bpd_evaluation(model_fn, diffusion, data, args.num_samples, args.clip_denoised)
+    run_bpd_evaluation(make_model_fn, params, diffusion, data, args.num_samples, args.clip_denoised)
 
 
-def run_bpd_evaluation(model_fn, diffusion, data, num_samples, clip_denoised):
+def run_bpd_evaluation(make_model_fn, params, diffusion, data, num_samples, clip_denoised):
     rng = jax.random.key(0)
     all_bpd = []
     all_metrics = {"vb": [], "mse": [], "xstart_mse": []}
     num_complete = 0
 
     @jax.jit
-    def run_bpd(x, key, model_kwargs):
+    def run_bpd(p, x, key, model_kwargs):
         return diffusion.calc_bpd_loop(
-            model_fn, x, key, clip_denoised=clip_denoised, model_kwargs=model_kwargs
+            make_model_fn(p), x, key, clip_denoised=clip_denoised, model_kwargs=model_kwargs
         )
 
     while num_complete < num_samples:
         batch, model_kwargs = next(data)
         rng, bpd_rng = jax.random.split(rng)
         metrics = run_bpd(
-            jnp.asarray(batch), bpd_rng,
+            params, jnp.asarray(batch), bpd_rng,
             {k: jnp.asarray(v) for k, v in model_kwargs.items()},
         )
         for key, term_list in all_metrics.items():

@@ -57,9 +57,6 @@ def main():
     )
     params = load_params(args.model_path, template)
 
-    def model_fn(x, t, **kw):
-        return model.apply({"params": params}, x, t, **kw)
-
     logger.log("loading data...")
     data = load_data(
         data_dir=args.data_dir_test,
@@ -77,10 +74,14 @@ def main():
 
     loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
 
-    # One jitted program for the entire denoise chain; eager dispatch is
-    # pathologically slow on remote-attached TPUs.
+    # One jitted program for the entire denoise chain (eager dispatch is
+    # pathologically slow on remote-attached TPUs); params travel as jit
+    # ARGUMENTS so weights aren't baked into the executable as constants.
     @jax.jit
-    def run_chain(key, model_kwargs, init_image=None):
+    def run_chain(params, key, model_kwargs, init_image=None):
+        def model_fn(x, t, **kw):
+            return model.apply({"params": params}, x, t, **kw)
+
         return loop(
             model_fn, shape, key,
             clip_denoised=args.clip_denoised,
@@ -99,7 +100,7 @@ def main():
         init_image = model_kwargs.get("img2") if dsp != -1 else None
 
         rng, sample_rng = jax.random.split(rng)
-        sample = run_chain(sample_rng, model_kwargs, init_image)
+        sample = run_chain(params, sample_rng, model_kwargs, init_image)
         sample_np = np.asarray(sample)
         sample_u8 = ((sample_np + 1) * 127.5).clip(0, 255).astype(np.uint8)
 

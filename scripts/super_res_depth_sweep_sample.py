@@ -56,8 +56,6 @@ def main():
     )
     params = load_params(args.model_path, template)
 
-    def model_fn(x, t, **kw):
-        return model.apply({"params": params}, x, t, **kw)
 
     logger.log("loading data...")
     data = load_data(
@@ -83,14 +81,18 @@ def main():
         # depths are in original-T units; clamp into the respaced chain
         st = min(int(round(depth * T / diffusion.sched.original_num_steps)), T)
         rng, sample_rng = jax.random.split(rng)
-        run_chain = jax.jit(
-            lambda key, mk, init: diffusion.p_sample_loop(
+        def _loop(params, key, mk, init, st=st):
+            def model_fn(x, t, **kw):
+                return model.apply({"params": params}, x, t, **kw)
+
+            return diffusion.p_sample_loop(
                 model_fn, shape, key,
                 clip_denoised=args.clip_denoised, model_kwargs=mk,
                 denoise_start_point=st, init_image=init,
             )
-        )
-        sample = run_chain(sample_rng, model_kwargs, imgs_start)
+
+        run_chain = jax.jit(_loop)
+        sample = run_chain(params, sample_rng, model_kwargs, imgs_start)
         out = os.path.join(logger.get_dir(), f"depth_{depth}.png")
         save_img(tensor2img(np.asarray(sample)), out)
         logger.log(f"depth {depth} (respaced {st}) -> {out}")

@@ -84,14 +84,14 @@ def main():
     template = init_template(model, jnp.zeros(shape), jnp.zeros((B,)), **init_kwargs)
     params = load_params(args.model_path, template)
 
-    def model_fn(x, t, **kw):
-        return model.apply({"params": params}, x, t, **kw)
-
     logger.log("loading data...")
     data = load_data_for_worker(args.base_samples, B, args.class_cond)
 
     @jax.jit
-    def run_chain(key, model_kwargs):
+    def run_chain(params, key, model_kwargs):
+        def model_fn(x, t, **kw):
+            return model.apply({"params": params}, x, t, **kw)
+
         return diffusion.p_sample_loop(
             model_fn, shape, key,
             clip_denoised=args.clip_denoised,
@@ -104,7 +104,7 @@ def main():
     while len(all_images) * B < args.num_samples:
         model_kwargs = {k: jnp.asarray(v) for k, v in next(data).items()}
         rng, sample_rng = jax.random.split(rng)
-        sample = run_chain(sample_rng, model_kwargs)
+        sample = run_chain(params, sample_rng, model_kwargs)
         sample_u8 = ((np.asarray(sample) + 1) * 127.5).clip(0, 255).astype(np.uint8)
         all_images.extend(list(pdist.all_gather_host(sample_u8)))
         logger.log(f"created {len(all_images) * B} samples")
