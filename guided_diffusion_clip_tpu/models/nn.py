@@ -48,30 +48,40 @@ class GroupNorm32(nn.Module):
     Matches torch.nn.GroupNorm semantics: groups partition channels, mean/var
     over (spatial, channels-within-group), eps 1e-5. Output cast back to the
     input dtype so a bf16 torso keeps its dtype across the norm.
+
+    Optionally fuses the reference's surrounding elementwise work into the
+    same memory passes (Pallas on TPU, XLA composite elsewhere): SiLU
+    activation and the adaGN scale-shift GN(h)*(1+s)+b (unet.py:248-251).
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        orig_dtype = x.dtype
+    def __call__(self, x: jax.Array, *, activation: str | None = None, scale_shift=None) -> jax.Array:
+        from ..ops.pallas_groupnorm import group_norm
+
         C = x.shape[-1]
         groups = min(self.num_groups, C)
         assert C % groups == 0, f"channels {C} not divisible by {groups} groups"
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
-        x = x.astype(jnp.float32)
-        spatial = x.shape[1:-1]
-        xg = x.reshape(x.shape[0], *spatial, groups, C // groups)
-        reduce_axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-        mean = xg.mean(axis=reduce_axes, keepdims=True)
-        var = xg.var(axis=reduce_axes, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
-        x = xg.reshape(x.shape)
-        x = x * scale + bias
-        return x.astype(orig_dtype)
+        hw = 1
+        for s in x.shape[1:-1]:
+            hw *= s
+        impl = "auto" if hw * C >= 1 << 16 else "xla"  # tiny maps: no kernel win
+        if scale_shift is not None:
+            ss, sb = scale_shift
+            scale_shift = (
+                ss.reshape(x.shape[0], C).astype(jnp.float32),
+                sb.reshape(x.shape[0], C).astype(jnp.float32),
+            )
+        return group_norm(
+            x, scale, bias,
+            groups=groups, eps=self.epsilon,
+            silu=(activation == "silu"), scale_shift=scale_shift, impl=impl,
+        )
 
 
 def normalization(num_groups: int = 32) -> GroupNorm32:

@@ -167,7 +167,7 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb, train: bool = False):
         C = x.shape[-1]
         out_ch = self.out_channels
-        h = silu(GroupNorm32(name="in_norm")(x))
+        h = GroupNorm32(name="in_norm")(x, activation="silu")
         if self.up:
             h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
@@ -184,11 +184,10 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = GroupNorm32(name="out_norm")(h, activation="silu", scale_shift=(scale, shift))
         else:
             h = h + emb_out
-            h = GroupNorm32(name="out_norm")(h)
-        h = silu(h)
+            h = GroupNorm32(name="out_norm")(h, activation="silu")
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = Conv(out_ch, 3, zero=True, dtype=self.dtype, name="out_conv")(h)
 
@@ -422,7 +421,7 @@ class UNetModel(nn.Module):
 
         # --- output head (f32, unet.py:613-617,663) -------------------------
         h = h.astype(x.dtype)
-        h = silu(GroupNorm32(name="out_norm")(h))
+        h = GroupNorm32(name="out_norm")(h, activation="silu")
         return Conv(cfg.out_channels, 3, zero=True, name="out_conv")(h)
 
 
@@ -455,14 +454,14 @@ class EncoderUNetModel(nn.Module):
 
         if self.pool == "adaptive":
             h = h.astype(x.dtype)
-            h = silu(GroupNorm32(name="out_norm")(h))
+            h = GroupNorm32(name="out_norm")(h, activation="silu")
             h = h.mean(axis=(1, 2), keepdims=True)
             h = Conv(cfg.out_channels, 1, zero=True, name="out_conv")(h)
             return h.reshape(h.shape[0], -1)
         elif self.pool == "attention":
             assert cfg.num_head_channels != -1
             h = h.astype(x.dtype)
-            h = silu(GroupNorm32(name="out_norm")(h))
+            h = GroupNorm32(name="out_norm")(h, activation="silu")
             return AttentionPool2d(
                 num_head_channels=cfg.num_head_channels,
                 output_dim=cfg.out_channels,
