@@ -91,3 +91,10 @@ class Diffusion:
             init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
+
+    def ddim_reverse_loop(self, model_fn, x0, *, clip_denoised=True, model_kwargs=None):
+        """Deterministically encode x_0 -> x_T (reference ddim_reverse_sample
+        :596-632 iterated forward)."""
+        return S.ddim_reverse_loop(
+            self.sched, model_fn, x0, cfg=self._cfg(clip_denoised), model_kwargs=model_kwargs
+        )

@@ -139,6 +139,11 @@ def _to_flax_tensor(torch_tensor, flax_shape, path) -> np.ndarray:
     return arr
 
 
+# flax Dense layers that correspond to conv_nd(1, ...) in the reference and
+# must export as rank-3 (O, I, 1) conv1d weights
+_CONV1D_NAMES = ("qkv", "proj_out", "qkv_proj", "c_proj")
+
+
 def _from_flax_tensor(arr: np.ndarray, path, torch_shape=None) -> np.ndarray:
     leaf = path[-1]
     arr = np.asarray(arr)
@@ -147,7 +152,10 @@ def _from_flax_tensor(arr: np.ndarray, path, torch_shape=None) -> np.ndarray:
     if arr.ndim == 4:
         return arr.transpose(3, 2, 0, 1)
     if arr.ndim == 2 and leaf == "kernel":
-        if torch_shape is not None and len(torch_shape) == 3:
+        is_conv1d = (torch_shape is not None and len(torch_shape) == 3) or (
+            torch_shape is None and any(p in _CONV1D_NAMES for p in path)
+        )
+        if is_conv1d:
             return arr.T[:, :, None]
         return arr.T
     return arr

@@ -166,3 +166,28 @@ class TestWarmStartSurgery:
         )
         out_plain = plain.apply({"params": plain_params}, jnp.array(x), jnp.array(t))
         np.testing.assert_allclose(np.asarray(out_cont), np.asarray(out_plain), rtol=1e-5, atol=1e-5)
+
+
+class TestSpatFeature:
+    def test_forward_parity(self):
+        import torch
+
+        from guided_diffusion_clip_tpu.models.clip_models import SpatFeatureModel
+
+        # hard-coded 128px tiling (unet_other.py:19-22)
+        kw = dict(BASE, image_size=128, num_classes=None, num_res_blocks=1,
+                  attention_resolutions=(16,), channel_mult=(1, 2))
+        ref = _ref_module("SpatFeatureModel", **kw)
+        ref.eval()
+        cfg = UNetConfig(**{**kw, "in_channels": 5})  # reference adds +2 internally
+        fm = SpatFeatureModel(cfg)
+        rs = np.random.RandomState(0)
+        x = rs.randn(2, 128, 128, 3).astype(np.float32)
+        t = np.array([5.0, 100.0], dtype=np.float32)
+        clip = rs.randn(2, 512).astype(np.float32)
+        params = fm.init(jax.random.key(0), jnp.array(x), jnp.array(t), clip_feat=jnp.array(clip))
+        params = {"params": import_torch_state_dict(ref.state_dict(), params["params"])}
+        ours = np.asarray(fm.apply(params, jnp.array(x), jnp.array(t), clip_feat=jnp.array(clip)))
+        with torch.no_grad():
+            theirs = ref(_to_nchw(x), torch.from_numpy(t), clip_feat=torch.from_numpy(clip))
+        np.testing.assert_allclose(ours, np.moveaxis(theirs.numpy(), 1, -1), rtol=1e-4, atol=2e-4)
