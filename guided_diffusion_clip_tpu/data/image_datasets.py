@@ -49,6 +49,7 @@ def load_data(
     class_cond_from_filenames: bool = False,
     seed: int = 0,
     prefetch: int = 2,
+    native: bool | None = None,
 ) -> Iterator:
     """Infinite generator over (images NHWC f32 in [-1,1], cond dict) batches."""
     if not data_dir:
@@ -70,6 +71,7 @@ def load_data(
         clip_file_path=clip_file_path,
         deterministic=deterministic,
         seed=seed,
+        native=native,
     )
     return _batched_iterator(dataset, batch_size, deterministic, prefetch)
 
@@ -150,6 +152,7 @@ class ImageDataset:
         clip_file_path: str | None = None,
         deterministic: bool = False,
         seed: int = 0,
+        native: bool | None = None,
     ):
         self.resolution = resolution
         self.local_images = image_paths[shard:][::num_shards]
@@ -160,6 +163,15 @@ class ImageDataset:
         self.clip_data = _load_clip_dict(clip_file_path) if clip_file_path else None
         self.deterministic = deterministic
         self.rng = random.Random(seed + shard)
+        # native C++ decode/resize path (native/gdc_loader.cpp): opt-in via
+        # arg or GDC_NATIVE_LOADER=1; falls back silently if the .so is absent
+        if native is None:
+            native = os.environ.get("GDC_NATIVE_LOADER", "") == "1"
+        self.native = False
+        if native:
+            from . import native_loader
+
+            self.native = native_loader.available()
 
     def __len__(self):
         return len(self.local_images)
@@ -185,6 +197,8 @@ class ImageDataset:
 
     def get_sample(self, idx: int):
         path = self.local_images[idx]
+        if self.native:
+            return self._get_sample_native(idx, path)
         with open(path, "rb") as f:
             pil_image = Image.open(f)
             pil_image.load()
@@ -212,6 +226,34 @@ class ImageDataset:
                     self.clip_data[key][int(img_flipped)], dtype=np.float32
                 ).reshape(-1)
         return np.ascontiguousarray(arr), out_dict
+
+
+def _native_get_sample(ds, idx, path):
+    from . import native_loader
+
+    do_flip = ds.random_flip and not ds.deterministic
+    seed = ds.rng.getrandbits(63) or 1
+    batch, flipped = native_loader.process_batch(
+        [path], ds.resolution, random_crop=ds.random_crop,
+        random_flip=do_flip, seeds=[seed], num_threads=1,
+    )
+    arr = batch[0]
+    img_flipped = bool(flipped[0])
+    out_dict = {}
+    if ds.local_classes is not None:
+        out_dict["y"] = np.array(ds.local_classes[idx], dtype=np.int32)
+    if ds.clip_data is not None:
+        key = os.path.basename(path)
+        if "caleba" in (ds.clip_file_path or ""):
+            out_dict["clip_feat"] = np.asarray(ds.clip_data[key], dtype=np.float32).reshape(-1)
+        else:
+            out_dict["clip_feat"] = np.asarray(
+                ds.clip_data[key][int(img_flipped)], dtype=np.float32
+            ).reshape(-1)
+    return arr, out_dict
+
+
+ImageDataset._get_sample_native = _native_get_sample
 
 
 def center_crop_arr(pil_image: Image.Image, image_size: int) -> np.ndarray:
