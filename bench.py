@@ -98,20 +98,42 @@ def main():
     )["params"]
     cparams = jax.jit(classifier.init)(c_rng, jnp.zeros(shape), jnp.zeros((B,)))["params"]
 
+    from guided_diffusion_clip_tpu.diffusion.sampling import (
+        SamplerConfig,
+        p_sample_step,
+        sample_chain_segment,
+    )
+
+    # The chain runs as segments of <=50 steps: identical math to one scan,
+    # but each device dispatch stays under remote-worker execution limits
+    # (one 250-step program at batch 16 trips the worker watchdog).
+    seg = int(os.environ.get("BENCH_SEGMENT_STEPS", 50))
+    bounds = list(range(steps, 0, -seg)) + [0]
+
     # params go through jit ARGUMENTS: closure capture would bake ~2.4GB of
     # weights into the executable as constants (slow compile, duplicated HBM).
     @jax.jit
-    def run_chain(params, cparams, key, classes):
-        def unet_fn(x, t, **kw):
-            return model.apply({"params": params}, x, t, **kw)
+    def init_noise(key):
+        return jax.random.normal(key, shape, dtype=jnp.float32)
 
-        def classifier_fn(x, t):
-            return classifier.apply({"params": cparams}, x, t)
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(4, 5))
+    def run_segment(params, cparams, x, key, t_hi, t_lo, classes):
+        def unet_fn(xx, t, **kw):
+            return model.apply({"params": params}, xx, t, **kw)
+
+        def classifier_fn(xx, t):
+            return classifier.apply({"params": cparams}, xx, t)
 
         cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
         model_fn = model_fn_dropping_y(unet_fn, class_cond=True)
-        return diffusion.p_sample_loop(
-            model_fn, shape, key, model_kwargs={"y": classes}, cond_fn=cond_fn
+        return sample_chain_segment(
+            p_sample_step, diffusion.sched, model_fn, x, key, t_hi, t_lo,
+            cfg=SamplerConfig(
+                mean_type=diffusion.mean_type, var_type=diffusion.var_type
+            ),
+            cond_fn=cond_fn, model_kwargs={"y": classes},
         )
 
     classes = jnp.zeros((B,), jnp.int32)
@@ -119,7 +141,11 @@ def main():
     def run_and_fetch(key):
         # fetch-based completion: block_until_ready is unreliable through
         # remote-attached TPU relays (returns before execution finishes)
-        return float(jnp.sum(run_chain(params, cparams, key, classes)))
+        x = init_noise(key)
+        for t_hi, t_lo in zip(bounds[:-1], bounds[1:]):
+            key = jax.random.fold_in(key, t_hi)
+            x = run_segment(params, cparams, x, key, t_hi, t_lo, classes)
+        return float(jnp.sum(x))
 
     # warmup / compile
     t0 = time.time()

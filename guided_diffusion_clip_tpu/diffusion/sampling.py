@@ -254,6 +254,46 @@ def ddim_sample_loop_progressive(sched, model_fn, shape, rng, **kw):
     )
 
 
+def sample_chain_segment(
+    step_fn,
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    x,
+    rng,
+    t_start: int,
+    t_end: int,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+    cond_fn: Callable | None = None,
+    denoised_fn: Callable | None = None,
+    model_kwargs: dict | None = None,
+):
+    """Scan a sub-range of the denoise chain: timesteps t_start-1 .. t_end.
+
+    Lets callers split one long chain into several device dispatches (useful
+    where single-program execution time is bounded, e.g. worker watchdogs on
+    remote-attached TPUs) while the carry stays on device. Composing segments
+    [T, k) + [k, 0) is numerically identical to one scan when the same
+    per-step keys are used; here each segment consumes fresh splits of `rng`.
+    """
+    B = x.shape[0]
+    n = t_start - t_end
+    timesteps = jnp.arange(t_start - 1, t_end - 1, -1, dtype=jnp.int32)
+    step_keys = jax.random.split(rng, n)
+
+    def body(carry, inp):
+        t_scalar, key = inp
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        sample, _ = step_fn(
+            sched, model_fn, carry, t, key,
+            cfg=cfg, cond_fn=cond_fn, denoised_fn=denoised_fn, model_kwargs=model_kwargs,
+        )
+        return sample, None
+
+    final, _ = jax.lax.scan(body, x, (timesteps, step_keys))
+    return final
+
+
 def ddim_reverse_loop(
     sched: DiffusionSchedule,
     model_fn: Callable,
