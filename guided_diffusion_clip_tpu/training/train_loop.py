@@ -227,8 +227,11 @@ class TrainLoop:
     # -------------------------------------------------------------- main loop
     def run_loop(self):
         while not self.lr_anneal_steps or self.step + self.resume_step < self.lr_anneal_steps:
-            batch, cond = next(self.data)
-            self.run_step(batch, cond)
+            # wait_* wall-time keys (reference logger.profile_kv, logger.py:293-317)
+            with logger.profile_kv("data"):
+                batch, cond = next(self.data)
+            with logger.profile_kv("step"):
+                self.run_step(batch, cond)
             if self.step % self.log_interval == 0:
                 logger.dumpkvs()
             if self.step % self.save_interval == 0 and self.step > 0:

@@ -200,6 +200,28 @@ def dumpkvs():
     return get_current().dumpkvs()
 
 
+def distributed_weighted_mean(name2val, name2cnt=None):
+    """Cross-process weighted mean of a KV dict (reference mpi_weighted_mean,
+    logger.py:412-439). Uses host all-gather; single-process is a no-op."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return dict(name2val)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(name2val.keys())
+    vals = np.array([float(name2val[k]) for k in keys], np.float64)
+    cnts = np.array([float((name2cnt or {}).get(k, 1)) for k in keys], np.float64)
+    gv = multihost_utils.process_allgather(vals)
+    gc = multihost_utils.process_allgather(cnts)
+    out = {}
+    for i, k in enumerate(keys):
+        total = gc[:, i].sum()
+        out[k] = float((gv[:, i] * gc[:, i]).sum() / max(total, 1e-12))
+    return out
+
+
 def getkvs():
     return get_current().name2val
 

@@ -78,7 +78,16 @@ def main():
     params = load_params(args.model_path, template)
 
     logger.log("loading CLIP...")
-    clip_cfg = CLIPConfig()
+    # GDC_CLIP_TINY=1 selects a tiny CLIP config (CI/e2e tests with random
+    # weights); production uses the real ViT-B/32 shape.
+    if os.environ.get("GDC_CLIP_TINY"):
+        clip_cfg = CLIPConfig(
+            image_size=32, patch_size=16, vision_width=64, vision_layers=2,
+            vision_heads=4, vocab_size=100, context_length=12, text_width=32,
+            text_layers=2, text_heads=2, embed_dim=16,
+        )
+    else:
+        clip_cfg = CLIPConfig()
     clip_vision = CLIPVisionEncoder(clip_cfg)
     vparams = load_clip_vision_params(args.clip_model_path, clip_cfg)
 
@@ -91,7 +100,7 @@ def main():
 
         img = Image.open(args.target_image).convert("RGB")
         arr = np.asarray(img, np.float32) / 127.5 - 1.0
-        target = embed_fn(preprocess_for_clip(jnp.asarray(arr)[None]))[0]
+        target = embed_fn(preprocess_for_clip(jnp.asarray(arr)[None], clip_cfg.image_size))[0]
     elif args.target_embed:
         target = jnp.asarray(np.load(args.target_embed)["arr_0"]).reshape(-1)
     else:
@@ -112,6 +121,7 @@ def main():
 
             cond_fn = clip_guidance_cond_fn(
                 embed, target, scale=scale,
+                clip_image_size=clip_cfg.image_size,
                 sched=diffusion.sched, mean_type=diffusion.mean_type,
                 var_type=diffusion.var_type, model_fn=model_fn,
                 use_pred_xstart=args.grad_through_pred_xstart,

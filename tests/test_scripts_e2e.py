@@ -30,7 +30,7 @@ TINY_FLAGS = [
 ]
 
 
-def run_script(name, flags, env_extra=None, timeout=900):
+def run_script(name, flags, env_extra=None, timeout=1500):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
@@ -142,3 +142,60 @@ class TestTrainSampleRoundTrip:
             },
         )
         assert glob.glob(os.path.join(run_dir, "model*.flax"))
+
+
+class TestClipGuidedSample:
+    def test_clip_guided_script(self, dataset, tmp_path):
+        """Drive clip_guided_sample.py end-to-end with tiny random CLIP weights."""
+        import torch
+
+        img_dir, _, root = dataset
+        # random tiny HF CLIPModel weights
+        from test_clip_vit import TINY, make_hf_model
+
+        hf = make_hf_model(TINY)
+        clip_pt = str(tmp_path / "tiny_clip.pt")
+        torch.save(hf.state_dict(), clip_pt)
+
+        # random-init diffusion checkpoint
+        import jax
+        import jax.numpy as jnp
+
+        from guided_diffusion_clip_tpu.utils.checkpoint import save_flax
+        from guided_diffusion_clip_tpu.utils.script_util import create_model
+
+        model = create_model(
+            image_size=16, num_channels=32, num_res_blocks=1, channel_mult="1,2",
+            learn_sigma=True, attention_resolutions="8", num_heads=2,
+        )
+        params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,)))["params"]
+        ckpt_path = str(tmp_path / "model000001.flax")
+        save_flax(ckpt_path, params)
+
+        target_embed = str(tmp_path / "target.npz")
+        np.savez(target_embed, np.random.RandomState(0).randn(TINY.embed_dim).astype(np.float32))
+
+        out_dir = str(tmp_path / "out")
+        os.makedirs(out_dir)
+        run_script(
+            "clip_guided_sample.py",
+            [
+                "--image_size", "16", "--num_channels", "32", "--num_res_blocks", "1",
+                "--channel_mult", "1,2", "--learn_sigma", "True",
+                "--attention_resolutions", "8", "--num_heads", "2",
+                "--diffusion_steps", "40", "--noise_schedule", "cosine",
+                "--timestep_respacing", "4",
+                "--model_path", ckpt_path,
+                "--clip_model_path", clip_pt,
+                "--target_embed", target_embed,
+                "--clip_scale", "10",
+                "--batch_size", "1",
+            ],
+            env_extra={
+                "OPENAI_LOGDIR": out_dir,
+                "OPENAI_LOG_FORMAT": "log",
+                "GDC_CLIP_TINY": "1",
+            },
+        )
+        pngs = glob.glob(os.path.join(out_dir, "clip_guided_scale*.png"))
+        assert len(pngs) == 1, os.listdir(out_dir)
