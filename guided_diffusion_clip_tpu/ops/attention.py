@@ -62,7 +62,12 @@ def attention(qkv: jax.Array, num_heads: int, *, new_order: bool = False) -> jax
     from .config import resolve_attention_impl
 
     impl = resolve_attention_impl()
-    if impl == "xla":
+    B, T, W = qkv.shape
+    d = W // (3 * num_heads)
+    # Mosaic tiles are (8, 128); unaligned token counts (e.g. the classifier's
+    # 65-token AttentionPool) go through XLA rather than a padded kernel.
+    aligned = (T % 8 == 0) and (d % 8 == 0)
+    if impl == "xla" or (impl == "pallas" and not aligned):
         return qkv_attention(qkv, num_heads, new_order=new_order)
     from .pallas_attention import qkv_attention_pallas
 

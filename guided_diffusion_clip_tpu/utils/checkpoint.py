@@ -99,6 +99,42 @@ def load_params(path: str, template, *, model: str = "unet", pool: str | None = 
     return load_flax(path, template)
 
 
+class OrbaxCheckpointer:
+    """Async orbax checkpointing for large-scale runs (SURVEY.md §5.4).
+
+    The flax-msgpack files above are the default (simple, single-host); this
+    backend adds non-blocking saves and sharded/multi-host restore via
+    orbax+tensorstore. Directory layout: {dir}/{kind}_{step} trees.
+    """
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(create=True, enable_async_checkpointing=True),
+        )
+
+    def save(self, step: int, tree) -> None:
+        """Non-blocking save; returns immediately (train loop keeps stepping)."""
+        self._mgr.save(step, args=self._ocp.args.StandardSave(tree))
+
+    def restore(self, step: int, template):
+        return self._mgr.restore(step, args=self._ocp.args.StandardRestore(template))
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
 def save_pt_copy(path: str, params, *, model: str = "unet", pool: str | None = None) -> None:
     """Write a torch-compatible state_dict so reference tooling can load it."""
     import torch

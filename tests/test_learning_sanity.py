@@ -1,0 +1,50 @@
+"""End-to-end learning check: loss decreases on a trivially learnable dataset."""
+
+import numpy as np
+
+from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
+from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
+from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
+
+
+def test_loss_decreases(tmp_path):
+    logger.configure_dir(dir=str(tmp_path), format_strs=[])
+    cfg = UNetConfig(
+        image_size=8, in_channels=3, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1,),
+        num_heads=1, use_scale_shift_norm=True,
+    )
+    model = UNetModel(config=cfg)
+    diffusion = create_gaussian_diffusion(steps=10, noise_schedule="cosine")
+
+    def data_gen():
+        # constant mid-gray images: eps-prediction is easy to learn
+        while True:
+            yield np.zeros((8, 8, 8, 3), np.float32), {}
+
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=8,
+        microbatch=-1, lr=3e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0,
+    )
+    losses = []
+    for _ in range(30):
+        b, c = next(loop.data)
+        t_np, w_np = loop.schedule_sampler.sample(loop.batch_size, loop.np_rng)
+        import jax, jax.numpy as jnp
+        from guided_diffusion_clip_tpu.parallel.mesh import shard_batch
+
+        loop.rng, step_rng = jax.random.split(loop.rng)
+        batch = shard_batch(loop.mesh, jnp.asarray(b))
+        cond = {}
+        t = shard_batch(loop.mesh, jnp.asarray(t_np))
+        w = shard_batch(loop.mesh, jnp.asarray(w_np))
+        loop.params, loop.opt_state, ema, metrics = loop._train_step(
+            loop.params, loop.opt_state, tuple(loop.ema_params), batch, cond, t, w, step_rng
+        )
+        loop.ema_params = list(ema)
+        losses.append(float(metrics["loss"]))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < first * 0.7, f"loss did not decrease: {first:.4f} -> {last:.4f}"
