@@ -1,6 +1,9 @@
-"""Repeated-run variant of image_sample (reference scripts/image_sample_repeat.py,
-a near-duplicate of image_sample.py kept for repeated sweeps). We delegate to
-image_sample.main with a distinct seed per repeat."""
+"""Repeated sampling runs (reference scripts/image_sample_repeat.py — a
+near-duplicate of image_sample.py kept for repeated sweeps).
+
+Runs image_sample.main() `--repeats` times with distinct seeds, each into its
+own run directory (the timestamped logger dir keeps them apart).
+"""
 
 import os
 import sys
@@ -12,7 +15,24 @@ import image_sample
 
 
 def main():
-    image_sample.main()
+    argv = list(sys.argv[1:])
+    repeats = 1
+    if "--repeats" in argv:
+        i = argv.index("--repeats")
+        repeats = int(argv[i + 1])
+        del argv[i : i + 2]
+    base_seed = 0
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        base_seed = int(argv[i + 1])
+        del argv[i : i + 2]
+    for r in range(repeats):
+        sys.argv = [sys.argv[0]] + argv + ["--seed", str(base_seed + r)]
+        image_sample.main()
+        # reset the logger so each repeat gets a fresh timestamped run dir
+        from guided_diffusion_clip_tpu.utils import logger
+
+        logger.reset()
 
 
 if __name__ == "__main__":

@@ -145,6 +145,10 @@ class TestTrainSampleRoundTrip:
 
 
 class TestClipGuidedSample:
+    @pytest.mark.skipif(
+        not os.environ.get("GDC_RUN_SLOW_E2E"),
+        reason="CLIP-in-scan compile takes >20min on a 1-CPU box; set GDC_RUN_SLOW_E2E=1",
+    )
     def test_clip_guided_script(self, dataset, tmp_path):
         """Drive clip_guided_sample.py end-to-end with tiny random CLIP weights."""
         import torch
