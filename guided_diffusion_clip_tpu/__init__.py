@@ -19,3 +19,24 @@ Design notes (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax at package-import time)."""
+    api = {
+        "Diffusion": ("guided_diffusion_clip_tpu.diffusion.api", "Diffusion"),
+        "DiffusionSchedule": ("guided_diffusion_clip_tpu.diffusion.schedules", "DiffusionSchedule"),
+        "UNetModel": ("guided_diffusion_clip_tpu.models.unet", "UNetModel"),
+        "UNetConfig": ("guided_diffusion_clip_tpu.models.unet", "UNetConfig"),
+        "EncoderUNetModel": ("guided_diffusion_clip_tpu.models.unet", "EncoderUNetModel"),
+        "create_model_and_diffusion": ("guided_diffusion_clip_tpu.utils.script_util", "create_model_and_diffusion"),
+        "create_gaussian_diffusion": ("guided_diffusion_clip_tpu.utils.script_util", "create_gaussian_diffusion"),
+        "load_data": ("guided_diffusion_clip_tpu.data.image_datasets", "load_data"),
+        "TrainLoop": ("guided_diffusion_clip_tpu.training.train_loop", "TrainLoop"),
+    }
+    if name in api:
+        import importlib
+
+        module, attr = api[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -37,6 +37,22 @@ def create_mesh(axes: Sequence[tuple[str, int]] | None = None, devices=None) -> 
     return Mesh(dev_array, names)
 
 
+def create_data_mesh(batch_size: int, devices=None) -> Mesh:
+    """1-D data mesh over the largest device count that divides the batch.
+
+    The global batch must shard evenly over 'data'; with e.g. batch 2 on an
+    8-device host this yields a 2-device mesh instead of a device_put error
+    (remaining devices idle — matching the reference's requirement that batch
+    be divisible by world size, README.md:155).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n:
+        n -= 1
+    return create_mesh(axes=(("data", n),), devices=devices[:n])
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding over the data axis (leading-axis sharded)."""
     return NamedSharding(mesh, P("data"))

@@ -32,7 +32,7 @@ import optax
 
 from ..diffusion.api import Diffusion
 from ..parallel import dist as pdist
-from ..parallel.mesh import create_mesh, replicate, shard_batch
+from ..parallel.mesh import create_data_mesh, replicate, shard_batch
 from ..training.resample import LossAwareSampler, ScheduleSampler, UniformSampler
 from ..utils import checkpoint as ckpt
 from ..utils import logger
@@ -98,7 +98,7 @@ class TrainLoop:
         self.step = 0
         self.resume_step = 0
         self.global_batch = self.batch_size * max(1, jax.process_count())
-        self.mesh = mesh if mesh is not None else create_mesh()
+        self.mesh = mesh if mesh is not None else create_data_mesh(self.batch_size)
         self.np_rng = np.random.default_rng(seed + jax.process_index())
         self.rng = jax.random.key(seed)
 

@@ -12,6 +12,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,7 +23,7 @@ import optax
 
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
 from guided_diffusion_clip_tpu.parallel import dist as pdist
-from guided_diffusion_clip_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from guided_diffusion_clip_tpu.parallel.mesh import create_data_mesh, replicate, shard_batch
 from guided_diffusion_clip_tpu.training.resample import create_named_schedule_sampler
 from guided_diffusion_clip_tpu.training.train_loop import get_blob_logdir
 from guided_diffusion_clip_tpu.utils import checkpoint as ckpt
@@ -78,8 +82,8 @@ def main():
         else None
     )
 
-    mesh = create_mesh()
     B = args.batch_size
+    mesh = create_data_mesh(B)
     shape = (B, args.image_size, args.image_size, 3)
     params = model.init(jax.random.key(0), jnp.zeros(shape), jnp.zeros((B,)))["params"]
     resume_step = 0

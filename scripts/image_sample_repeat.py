@@ -9,6 +9,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import image_sample

@@ -11,6 +11,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.training.resample import create_named_schedule_sampler

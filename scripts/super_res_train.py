@@ -10,6 +10,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 import numpy as np
 
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
