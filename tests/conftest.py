@@ -21,3 +21,32 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import signal  # noqa: E402
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Per-test wall-clock bound (pytest-timeout is not available in this image).
+# A wedged test raises instead of hanging the whole suite; override per test
+# with @pytest.mark.timeout(seconds).
+# ---------------------------------------------------------------------------
+
+DEFAULT_TEST_TIMEOUT = int(os.environ.get("PYTEST_PER_TEST_TIMEOUT", 900))
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_call(item):
+    marker = item.get_closest_marker("timeout")
+    secs = int(marker.args[0]) if marker and marker.args else DEFAULT_TEST_TIMEOUT
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(f"test exceeded {secs}s wall-clock limit")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(secs)
+    try:
+        return (yield)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

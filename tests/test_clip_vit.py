@@ -70,6 +70,7 @@ def pair():
     return model, vision, text
 
 
+@pytest.mark.slow
 class TestVisionParity:
     def test_image_embed_matches(self, pair):
         import torch
@@ -105,6 +106,7 @@ class TestTextParity:
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestGuidance:
     def test_clip_cond_fn_gradient(self, pair):
         _, vision, _ = pair

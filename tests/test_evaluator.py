@@ -134,6 +134,12 @@ class TestCLI:
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         out = proc.stdout
-        assert "FID:" in out and "Precision:" in out and "Recall:" in out
-        fid = float([l for l in out.splitlines() if l.startswith("FID:")][0].split(":")[1])
+        # pixel-extractor metric lines must be tagged so they can never be
+        # quoted as real FID numbers
+        tag = "[pixel-debug]"
+        assert f"FID{tag}:" in out and f"Precision{tag}:" in out and f"Recall{tag}:" in out
+        assert "\nFID:" not in out
+        fid = float(
+            [l for l in out.splitlines() if l.startswith(f"FID{tag}:")][0].split(":")[1]
+        )
         assert fid < 5.0

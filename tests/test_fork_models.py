@@ -61,6 +61,7 @@ def _to_nchw(a):
     return torch.from_numpy(np.moveaxis(a, -1, 1).copy())
 
 
+@pytest.mark.slow
 class TestClipFeatModel:
     def test_forward_parity(self):
         import torch
@@ -168,6 +169,7 @@ class TestWarmStartSurgery:
         np.testing.assert_allclose(np.asarray(out_cont), np.asarray(out_plain), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestSpatFeature:
     def test_forward_parity(self):
         import torch

@@ -72,6 +72,7 @@ class TestPtInterop:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestResume:
     def test_resume_restores_step_params_ema_opt(self, tmp_path):
         from guided_diffusion_clip_tpu.training.train_loop import TrainLoop

@@ -1,6 +1,7 @@
 """End-to-end learning check: loss decreases on a trivially learnable dataset."""
 
 import numpy as np
+import pytest
 
 from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
 from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
@@ -8,6 +9,7 @@ from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
 
 
+@pytest.mark.slow
 def test_loss_decreases(tmp_path):
     logger.configure_dir(dir=str(tmp_path), format_strs=[])
     cfg = UNetConfig(

@@ -1,6 +1,7 @@
 """use_checkpoint (rematerialization) must not change values or gradients."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,7 @@ def make(use_checkpoint):
     return UNetModel(config=cfg)
 
 
+@pytest.mark.slow
 def test_remat_value_and_grad_parity():
     m0, m1 = make(False), make(True)
     x = jax.random.normal(jax.random.key(0), (2, 16, 16, 3))

@@ -60,6 +60,7 @@ def dataset(tmp_path_factory):
     return str(img_dir), str(clip_path), str(root)
 
 
+@pytest.mark.slow
 class TestTrainSampleRoundTrip:
     def test_image_train_and_sample(self, dataset, tmp_path):
         img_dir, clip_path, _ = dataset
@@ -144,6 +145,7 @@ class TestTrainSampleRoundTrip:
         assert glob.glob(os.path.join(run_dir, "model*.flax"))
 
 
+@pytest.mark.slow
 class TestClipGuidedSample:
     @pytest.mark.skipif(
         not os.environ.get("GDC_RUN_SLOW_E2E"),
@@ -168,9 +170,11 @@ class TestClipGuidedSample:
         from guided_diffusion_clip_tpu.utils.checkpoint import save_flax
         from guided_diffusion_clip_tpu.utils.script_util import create_model
 
+        # use_scale_shift_norm=True matches the FLAG default the script builds
         model = create_model(
             image_size=16, num_channels=32, num_res_blocks=1, channel_mult="1,2",
             learn_sigma=True, attention_resolutions="8", num_heads=2,
+            use_scale_shift_norm=True,
         )
         params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,)))["params"]
         ckpt_path = str(tmp_path / "model000001.flax")

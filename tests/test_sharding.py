@@ -70,6 +70,7 @@ class TestMeshBasics:
         assert len(p["w"].sharding.device_set) == 8
 
 
+@pytest.mark.slow
 class TestDPMatchesSingleDevice:
     def test_one_step_identical(self):
         mesh8 = create_mesh()
