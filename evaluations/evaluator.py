@@ -76,15 +76,18 @@ def main():
     sample_stats, sample_stats_spatial = extractor.read_statistics(args.sample_batch, sample_acts)
 
     print("Computing evaluations...")
+    # Metric lines carry the extractor tag so debug-extractor numbers can
+    # never be quoted as real FID (empty tag for the genuine Inception path).
+    tag = extractor.tag
     is_score = extractor.compute_inception_score(sample_acts[0])
-    print("Inception Score:", is_score)
+    print(f"Inception Score{tag}:", is_score)
     fid = sample_stats.frechet_distance(ref_stats)
-    print("FID:", fid)
+    print(f"FID{tag}:", fid)
     sfid = sample_stats_spatial.frechet_distance(ref_stats_spatial)
-    print("sFID:", sfid)
+    print(f"sFID{tag}:", sfid)
     prec, recall = compute_prec_recall(ref_acts[0], sample_acts[0])
-    print("Precision:", prec)
-    print("Recall:", recall)
+    print(f"Precision{tag}:", prec)
+    print(f"Recall{tag}:", recall)
 
 
 # ---------------------------------------------------------------------------
@@ -221,11 +224,39 @@ def compute_prec_recall(ref_features: np.ndarray, sample_features: np.ndarray, n
 
 
 def iter_npz_batches(npz_path: str, batch_size: int = 256) -> Iterator[np.ndarray]:
-    with open(npz_path, "rb") as f:
-        obj = np.load(f)
-        arr = obj["arr_0"]
-        for i in range(0, len(arr), batch_size):
-            yield arr[i : i + batch_size]
+    """Stream `arr_0` out of an npz in row batches without materializing it.
+
+    A 50k-sample 256px uint8 batch is ~9.8 GB; the reference reads the zip
+    member incrementally for exactly this reason (evaluator.py:433-531). An
+    npz is a zip archive whose members are .npy files — read the npy header
+    for shape/dtype, then stream whole rows from the (possibly deflated) zip
+    stream. Works for both np.savez (stored) and np.savez_compressed.
+    """
+    with zipfile.ZipFile(npz_path, "r") as zf:
+        name = "arr_0.npy" if "arr_0.npy" in zf.namelist() else zf.namelist()[0]
+        with zf.open(name, "r") as member:
+            version = np.lib.format.read_magic(member)
+            if version == (1, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_1_0(member)
+            elif version == (2, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_2_0(member)
+            else:
+                shape, fortran, dtype = np.lib.format._read_array_header(member, version)
+            if fortran or dtype.hasobject:
+                # rare layouts: fall back to full load
+                arr = np.load(io.BytesIO(zf.read(name)), allow_pickle=False)
+                for i in range(0, len(arr), batch_size):
+                    yield arr[i : i + batch_size]
+                return
+            n = shape[0] if shape else 0
+            row_shape = shape[1:]
+            row_nbytes = int(np.prod(row_shape, dtype=np.int64)) * dtype.itemsize
+            for i in range(0, n, batch_size):
+                rows = min(batch_size, n - i)
+                buf = member.read(rows * row_nbytes)
+                if len(buf) != rows * row_nbytes:
+                    raise IOError(f"truncated npz member {name} at row {i}")
+                yield np.frombuffer(buf, dtype=dtype).reshape((rows,) + row_shape)
 
 
 def npz_has_statistics(npz_path: str) -> bool:
@@ -241,6 +272,7 @@ def npz_has_statistics(npz_path: str) -> bool:
 
 class Extractor:
     name = "base"
+    tag = ""  # appended to metric labels; non-empty for debug extractors
 
     def extract(self, batch_uint8: np.ndarray):
         """-> (pool_features [B, D], spatial_features [B, D2], preds [B, K])."""
@@ -312,6 +344,52 @@ class TFInceptionExtractor(Extractor):
         return p, s, sm
 
 
+class FlaxInceptionExtractor(Extractor):
+    """TPU-native InceptionV3: the frozen FID graph reimplemented in JAX
+    (evaluations/inception_flax.py), running from one-time-converted weights.
+    Needs neither TensorFlow nor network access at eval time; runs on the TPU
+    when one is attached."""
+
+    name = "inception (JAX port of the frozen FID graph)"
+
+    def __init__(self, npz_path: str, batch: int = 64):
+        import jax
+
+        from evaluations import inception_flax as inc
+
+        params, pre_act = inc.load_params(npz_path)
+        self._params = params
+        self._batch = batch
+
+        @jax.jit
+        def feats(p, x):
+            pool3, spatial = inc.inception_features(
+                p, x, spatial_pre_activation=pre_act
+            )
+            preds = inc.inception_softmax(p, pool3)
+            b = spatial.shape[0]
+            return pool3, spatial.reshape(b, -1), preds
+
+        self._feats = feats
+
+    def extract(self, batch_uint8: np.ndarray):
+        import jax.numpy as jnp
+
+        outs = [[], [], []]
+        # fixed sub-batch so jit compiles once; pad the ragged tail
+        for i in range(0, len(batch_uint8), self._batch):
+            chunk = batch_uint8[i : i + self._batch].astype(np.float32)
+            n = len(chunk)
+            if n < self._batch:
+                pad = np.zeros((self._batch - n,) + chunk.shape[1:], np.float32)
+                chunk = np.concatenate([chunk, pad], 0)
+            p, s, pr = self._feats(self._params, jnp.asarray(chunk))
+            outs[0].append(np.asarray(p)[:n])
+            outs[1].append(np.asarray(s)[:n])
+            outs[2].append(np.asarray(pr)[:n])
+        return tuple(np.concatenate(o, 0) for o in outs)
+
+
 class PixelExtractor(Extractor):
     """Weights-free debug extractor: downsampled pixels + channel stats.
 
@@ -320,6 +398,7 @@ class PixelExtractor(Extractor):
     """
 
     name = "pixel (debug; NOT comparable to published FID)"
+    tag = "[pixel-debug]"
 
     def __init__(self, side: int = 8):
         self.side = side
