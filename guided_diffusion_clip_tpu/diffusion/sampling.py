@@ -294,6 +294,46 @@ def sample_chain_segment(
     return final
 
 
+def sample_chain_segment_dyn(
+    step_fn,
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    x,
+    rng,
+    t_start,
+    seg_len: int,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+    cond_fn: Callable | None = None,
+    denoised_fn: Callable | None = None,
+    model_kwargs: dict | None = None,
+):
+    """sample_chain_segment with a TRACED start timestep and static length.
+
+    Scans timesteps t_start-1 .. t_start-seg_len. Because only seg_len (not
+    the boundary values) is compile-time static, every equal-length segment
+    of a long chain reuses ONE compiled executable — a 250-step chain run as
+    5x50 segments compiles once instead of five times (first-compile through
+    remote TPU relays costs minutes per program).
+    """
+    B = x.shape[0]
+    t0 = jnp.asarray(t_start, jnp.int32)
+    timesteps = t0 - 1 - jnp.arange(seg_len, dtype=jnp.int32)
+    step_keys = jax.random.split(rng, seg_len)
+
+    def body(carry, inp):
+        t_scalar, key = inp
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        sample, _ = step_fn(
+            sched, model_fn, carry, t, key,
+            cfg=cfg, cond_fn=cond_fn, denoised_fn=denoised_fn, model_kwargs=model_kwargs,
+        )
+        return sample, None
+
+    final, _ = jax.lax.scan(body, x, (timesteps, step_keys))
+    return final
+
+
 def ddim_reverse_loop(
     sched: DiffusionSchedule,
     model_fn: Callable,

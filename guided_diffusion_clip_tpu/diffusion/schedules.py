@@ -205,40 +205,54 @@ def named_schedule(name: str, num_timesteps: int, **kw) -> DiffusionSchedule:
 # ---------------------------------------------------------------------------
 
 
+def _exact_stride_subset(total: int, want: int) -> set:
+    """The "ddimN" schedule: the unique integer stride hitting exactly N steps."""
+    for stride in range(1, total):
+        if len(range(0, total, stride)) == want:
+            return set(range(0, total, stride))
+    raise ValueError(f"cannot create exactly {want} steps with an integer stride")
+
+
+def _spread_within(length: int, count: int):
+    """`count` indices spread evenly over [0, length): accumulate the
+    fractional stride and round each position.
+
+    NB: accumulation (not multiplication) matters bit-for-bit — round() at
+    exact .5 boundaries must see the same float the reference produced
+    (respace.py:39-57 behavior contract, pinned by golden tests).
+    """
+    if length < count:
+        raise ValueError(f"cannot divide section of {length} steps into {count}")
+    stride = 1 if count <= 1 else (length - 1) / (count - 1)
+    pos = 0.0
+    out = []
+    for _ in range(count):
+        out.append(round(pos))
+        pos += stride
+    return out
+
+
 def space_timesteps(num_timesteps: int, section_counts) -> set:
     """Pick a subset of original timesteps (reference respace.py:7-60).
 
     `section_counts` is either a list of per-section counts, or a string:
-    comma-separated ints, or "ddimN" for an exact-stride DDIM schedule.
+    comma-separated ints, or "ddimN" for an exact-stride DDIM schedule. The
+    chain is split into len(counts) near-equal sections (earlier sections get
+    the remainder) and each contributes its own evenly-spread picks.
     """
     if isinstance(section_counts, str):
         if section_counts.startswith("ddim"):
-            desired_count = int(section_counts[len("ddim"):])
-            for i in range(1, num_timesteps):
-                if len(range(0, num_timesteps, i)) == desired_count:
-                    return set(range(0, num_timesteps, i))
-            raise ValueError(f"cannot create exactly {desired_count} steps with an integer stride")
+            return _exact_stride_subset(num_timesteps, int(section_counts[4:]))
         section_counts = [int(x) for x in section_counts.split(",")]
-    size_per = num_timesteps // len(section_counts)
-    extra = num_timesteps % len(section_counts)
-    start_idx = 0
-    all_steps = []
-    for i, section_count in enumerate(section_counts):
-        size = size_per + (1 if i < extra else 0)
-        if size < section_count:
-            raise ValueError(f"cannot divide section of {size} steps into {section_count}")
-        if section_count <= 1:
-            frac_stride = 1
-        else:
-            frac_stride = (size - 1) / (section_count - 1)
-        cur_idx = 0.0
-        taken_steps = []
-        for _ in range(section_count):
-            taken_steps.append(start_idx + round(cur_idx))
-            cur_idx += frac_stride
-        all_steps += taken_steps
-        start_idx += size
-    return set(all_steps)
+    n_sections = len(section_counts)
+    base_len, remainder = divmod(num_timesteps, n_sections)
+    chosen: set = set()
+    offset = 0
+    for i, count in enumerate(section_counts):
+        length = base_len + (1 if i < remainder else 0)
+        chosen.update(offset + p for p in _spread_within(length, count))
+        offset += length
+    return chosen
 
 
 def respaced_schedule(

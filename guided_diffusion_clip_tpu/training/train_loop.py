@@ -72,6 +72,8 @@ class TrainLoop:
         mesh=None,
         seed: int = 0,
         init_params=None,
+        profile_dir: str = "",
+        profile_steps: int = 3,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -95,6 +97,8 @@ class TrainLoop:
         self.val_batch_size = val_batch_size
         self.use_ddim_for_val = use_ddim_for_val
 
+        self._profile_dir = profile_dir
+        self._profile_steps = profile_steps
         self.step = 0
         self.resume_step = 0
         self.global_batch = self.batch_size * max(1, jax.process_count())
@@ -226,22 +230,32 @@ class TrainLoop:
 
     # -------------------------------------------------------------- main loop
     def run_loop(self):
-        while not self.lr_anneal_steps or self.step + self.resume_step < self.lr_anneal_steps:
-            # wait_* wall-time keys (reference logger.profile_kv, logger.py:293-317)
-            with logger.profile_kv("data"):
-                batch, cond = next(self.data)
-            with logger.profile_kv("step"):
-                self.run_step(batch, cond)
-            if self.step % self.log_interval == 0:
-                logger.dumpkvs()
-            if self.step % self.save_interval == 0 and self.step > 0:
+        from ..utils.profiling import StepProfiler, annotate
+
+        prof = StepProfiler(self._profile_dir, num_steps=self._profile_steps)
+        try:
+            while not self.lr_anneal_steps or self.step + self.resume_step < self.lr_anneal_steps:
+                prof.maybe_start(self.step)
+                # wait_* wall-time keys (reference logger.profile_kv, logger.py:293-317)
+                with prof.step_scope(self.step):
+                    with logger.profile_kv("data"), annotate("data"):
+                        batch, cond = next(self.data)
+                    with logger.profile_kv("step"), annotate("train_step"):
+                        self.run_step(batch, cond)
+                prof.maybe_stop(self.step)
+                if self.step % self.log_interval == 0:
+                    logger.dumpkvs()
+                if self.step % self.save_interval == 0 and self.step > 0:
+                    with logger.profile_kv("val"), annotate("val_sample"):
+                        self.save()
+                        self.val_sample()
+                    if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
+                        return
+                self.step += 1
+            if (self.step - 1) % self.save_interval != 0:
                 self.save()
-                self.val_sample()
-                if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
-                    return
-            self.step += 1
-        if (self.step - 1) % self.save_interval != 0:
-            self.save()
+        finally:
+            prof.stop()
 
     def run_step(self, batch, cond):
         t_np, w_np = self.schedule_sampler.sample(self.batch_size, self.np_rng)
@@ -301,6 +315,36 @@ class TrainLoop:
             )
         pdist.barrier("save")
 
+    def _get_val_chain(self, shape):
+        """Jitted full-chain val sampler, cached per output shape.
+
+        Built once and reused across save intervals — rebuilding jax.jit per
+        call (as the first cut did) discards jit's executable cache and pays a
+        full recompile of the sampling chain every val_sample.
+        """
+        cache = getattr(self, "_val_chain_cache", None)
+        if cache is None:
+            cache = self._val_chain_cache = {}
+        key = (self.use_ddim_for_val, shape)
+        chain = cache.get(key)
+        if chain is None:
+            loop = (
+                self.diffusion.ddim_sample_loop
+                if self.use_ddim_for_val
+                else self.diffusion.p_sample_loop
+            )
+
+            # jit the whole chain (eager scan dispatch is pathologically slow
+            # on remote-attached TPUs); params as jit args, not constants.
+            def _chain(ema, key, mk):
+                def model_fn(x, t, **kw):
+                    return self.model.apply({"params": ema}, x, t, **kw)
+
+                return loop(model_fn, shape, key, model_kwargs=mk)
+
+            chain = cache[key] = jax.jit(_chain)
+        return chain
+
     def val_sample(self, which: int | None = None, num_samples: int = 8):
         """Sample a small grid from each val dataset (train_util.py:269-341).
 
@@ -321,21 +365,8 @@ class TrainLoop:
             cond = {k: jnp.asarray(v[:n]) for k, v in cond.items()}
 
             self.rng, sample_rng = jax.random.split(self.rng)
-            loop = (
-                self.diffusion.ddim_sample_loop
-                if self.use_ddim_for_val
-                else self.diffusion.p_sample_loop
-            )
-
-            # jit the whole chain (eager scan dispatch is pathologically slow
-            # on remote-attached TPUs); params as jit args, not constants.
-            def _chain(ema, key, mk):
-                def model_fn(x, t, **kw):
-                    return self.model.apply({"params": ema}, x, t, **kw)
-
-                return loop(model_fn, batch.shape, key, model_kwargs=mk)
-
-            sample = jax.jit(_chain)(self.ema_params[0], sample_rng, cond)
+            chain = self._get_val_chain(batch.shape)
+            sample = chain(self.ema_params[0], sample_rng, cond)
             gathered = pdist.all_gather_host(np.asarray(sample))
             gathered = gathered.reshape((-1,) + gathered.shape[2:])
             if pdist.is_primary():

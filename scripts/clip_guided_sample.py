@@ -47,18 +47,19 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 )
 
 
-def load_clip_vision_params(path: str, cfg: CLIPConfig):
-    """Load CLIP weights from an HF CLIPModel .bin/.pt or OpenAI CLIP .pt."""
+def load_clip_params(path: str, cfg: CLIPConfig):
+    """Load CLIP weights from an HF CLIPModel .bin/.pt or OpenAI CLIP .pt.
+    -> (vision_params, text_params)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     if any(k.startswith("visual.") for k in sd):
-        vision, _, _ = import_openai_clip_pt(sd, cfg)
+        vision, text, _ = import_openai_clip_pt(sd, cfg)
     else:
-        vision, _, _ = import_clip_torch_state_dict(sd, cfg)
-    return vision
+        vision, text, _ = import_clip_torch_state_dict(sd, cfg)
+    return vision, text
 
 
 def main():
@@ -92,14 +93,40 @@ def main():
         )
     else:
         clip_cfg = CLIPConfig()
+    if args.text:
+        # Tokenize first so the tiny-CLIP path can size its vocab off the
+        # supplied merges file (--clip_vocab, else $CLIP_BPE_PATH).
+        import dataclasses
+
+        from guided_diffusion_clip_tpu.models.clip_tokenizer import SimpleTokenizer
+
+        tokenizer = SimpleTokenizer(
+            bpe_path=args.clip_vocab or None,
+            context_length=clip_cfg.context_length,
+        )
+        if os.environ.get("GDC_CLIP_TINY"):
+            clip_cfg = dataclasses.replace(clip_cfg, vocab_size=len(tokenizer.encoder))
+        elif len(tokenizer.encoder) != clip_cfg.vocab_size:
+            raise SystemExit(
+                f"vocab size mismatch: merges file yields {len(tokenizer.encoder)} "
+                f"tokens, CLIP model expects {clip_cfg.vocab_size}"
+            )
+
     clip_vision = CLIPVisionEncoder(clip_cfg)
-    vparams = load_clip_vision_params(args.clip_model_path, clip_cfg)
+    vparams, tparams = load_clip_params(args.clip_model_path, clip_cfg)
 
     def embed_fn(pixels):
         return clip_vision.apply({"params": vparams}, pixels)
 
-    # target embedding: reference image or precomputed npz (e.g. text embed)
-    if args.target_image:
+    # target embedding: text prompt, reference image, or precomputed npz
+    if args.text:
+        from guided_diffusion_clip_tpu.models.clip_vit import CLIPTextEncoder
+
+        tokens = jnp.asarray(tokenizer(args.text))
+        text_encoder = CLIPTextEncoder(clip_cfg)
+        target = text_encoder.apply({"params": tparams}, tokens)[0]
+        logger.log(f"text target: {args.text!r} -> {target.shape[-1]}-d embedding")
+    elif args.target_image:
         from PIL import Image
 
         img = Image.open(args.target_image).convert("RGB")
@@ -108,7 +135,7 @@ def main():
     elif args.target_embed:
         target = jnp.asarray(np.load(args.target_embed)["arr_0"]).reshape(-1)
     else:
-        raise SystemExit("provide --target_image or --target_embed")
+        raise SystemExit("provide --text, --target_image or --target_embed")
 
     scales = [float(s) for s in str(args.clip_scale).split(",")]
     rng = jax.random.key(args.seed)
@@ -157,6 +184,8 @@ def create_argparser():
         use_ddim=False,
         model_path="",
         clip_model_path="",
+        text="",  # text prompt target (tokenized with --clip_vocab merges)
+        clip_vocab="",  # path to bpe_simple_vocab_16e6.txt(.gz); else $CLIP_BPE_PATH
         target_image="",
         target_embed="",
         clip_scale="100.0",

@@ -75,6 +75,15 @@ def main():
 
     dsp = args.denoise_start_point
     dsp = -1 if dsp in (None, "None", "") else int(dsp)
+    if dsp != -1:
+        # The flag is given in original-T units (sample_config.yaml pairs
+        # denoise_start_point: 800 with timestep_respacing: 100; the upstream
+        # loop would index 100-length tables with t=800 and crash,
+        # gaussian_diffusion.py:517-523) — map it into the respaced chain,
+        # matching super_res_depth_sweep_sample.py's depth mapping.
+        T = diffusion.num_timesteps
+        dsp = min(int(round(dsp * T / diffusion.sched.original_num_steps)), T)
+        logger.log(f"denoise_start_point {args.denoise_start_point} -> respaced step {dsp}")
 
     loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
 
@@ -94,6 +103,12 @@ def main():
             init_image=init_image,
         )
 
+    from guided_diffusion_clip_tpu.utils.profiling import StepProfiler, annotate
+
+    # --profile_dir captures a TensorBoard trace of the first post-compile
+    # sampling chain (batch 0 compiles; batch 1 is the steady-state trace)
+    prof = StepProfiler(args.profile_dir, first_step=1, num_steps=1)
+
     logger.log("sampling...")
     all_images = []
     counter = 0
@@ -104,7 +119,11 @@ def main():
         init_image = model_kwargs.get("img2") if dsp != -1 else None
 
         rng, sample_rng = jax.random.split(rng)
-        sample = run_chain(params, sample_rng, model_kwargs, init_image)
+        prof.maybe_start(counter)
+        with prof.step_scope(counter), annotate("sample_chain"):
+            sample = run_chain(params, sample_rng, model_kwargs, init_image)
+            sample.block_until_ready()
+        prof.maybe_stop(counter)
         sample_np = np.asarray(sample)
         sample_u8 = ((sample_np + 1) * 127.5).clip(0, 255).astype(np.uint8)
 
@@ -141,6 +160,7 @@ def create_argparser():
         load_file="",
         f="",
         seed=0,
+        profile_dir="",  # capture a jax.profiler/TensorBoard trace here
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -30,8 +30,17 @@ def main():
         i = argv.index("--seed")
         base_seed = int(argv[i + 1])
         del argv[i : i + 2]
+    desc = ""
+    for flag in ("-d", "--description"):
+        if flag in argv:
+            i = argv.index(flag)
+            desc = argv[i + 1]
+            del argv[i : i + 2]
     for r in range(repeats):
-        sys.argv = [sys.argv[0]] + argv + ["--seed", str(base_seed + r)]
+        # per-repeat description so run dirs never collide (the timestamped
+        # dir name has 1s resolution; fast repeats would overwrite each other)
+        rep_desc = f"{desc}_rep{r}" if desc else f"rep{r}"
+        sys.argv = [sys.argv[0]] + argv + ["--seed", str(base_seed + r), "-d", rep_desc]
         image_sample.main()
         # reset the logger so each repeat gets a fresh timestamped run dir
         from guided_diffusion_clip_tpu.utils import logger

@@ -100,6 +100,7 @@ def main():
         lr_anneal_steps=args.lr_anneal_steps,
         val_datasets=val_datasets or None,
         val_batch_size=args.val_batch_size,
+        profile_dir=args.profile_dir,
     ).run_loop()
 
 
@@ -110,6 +111,7 @@ def create_argparser():
         clip_file_path="",
         clip_file_path_test="",
         main_path="",
+        profile_dir="",  # capture a jax.profiler/TensorBoard trace here
         schedule_sampler="uniform",
         lr=1e-4,
         weight_decay=0.0,

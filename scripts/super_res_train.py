@@ -66,6 +66,22 @@ def main():
     model, diffusion = sr_create_model_and_diffusion(
         **args_to_dict(args, sr_model_and_diffusion_defaults().keys())
     )
+    # Fix-forward (SURVEY.md §0.1): the fork's SR factory returns the
+    # img2/Δclip model, but this script's loader supplies `low_res` batches
+    # (super_res_train.py:82-92) — the upstream cascade. Re-dispatch to the
+    # upstream SuperResModel variant so the trained checkpoint is the one
+    # super_res_sample.py consumes.
+    import dataclasses
+
+    from guided_diffusion_clip_tpu.models.unet import UNetModel
+
+    cfg = dataclasses.replace(
+        model.config,
+        variant="super_res",
+        num_classes=model.config.num_classes if args.class_cond else None,
+        label_emb_type="embedding",
+    )
+    model = UNetModel(config=cfg, dtype=model.dtype)
     schedule_sampler = create_named_schedule_sampler(
         args.schedule_sampler, diffusion.num_timesteps
     )
