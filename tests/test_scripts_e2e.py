@@ -147,10 +147,6 @@ class TestTrainSampleRoundTrip:
 
 @pytest.mark.slow
 class TestClipGuidedSample:
-    @pytest.mark.skipif(
-        not os.environ.get("GDC_RUN_SLOW_E2E"),
-        reason="CLIP-in-scan compile takes >20min on a 1-CPU box; set GDC_RUN_SLOW_E2E=1",
-    )
     def test_clip_guided_script(self, dataset, tmp_path):
         """Drive clip_guided_sample.py end-to-end with tiny random CLIP weights."""
         import torch
@@ -201,6 +197,66 @@ class TestClipGuidedSample:
                 # noisy-x gradient pathway: differentiating the UNet inside
                 # every step (pred-x0 pathway) is too heavy to compile on a
                 # 1-CPU CI box; the pred-x0 path is covered on TPU
+                "--grad_through_pred_xstart", "False",
+            ],
+            env_extra={
+                "OPENAI_LOGDIR": out_dir,
+                "OPENAI_LOG_FORMAT": "log",
+                "GDC_CLIP_TINY": "1",
+            },
+        )
+        pngs = glob.glob(os.path.join(out_dir, "clip_guided_scale*.png"))
+        assert len(pngs) == 1, os.listdir(out_dir)
+
+    def test_clip_guided_text_prompt(self, tmp_path):
+        """--text with the vendored BPE vocab: offline text -> embedding ->
+        guided samples, no precomputed target npz."""
+        import dataclasses
+
+        import torch
+
+        from test_clip_vit import TINY, make_hf_model
+
+        from guided_diffusion_clip_tpu.models.clip_tokenizer import SimpleTokenizer
+
+        vocab = os.path.join(os.path.dirname(__file__), "assets", "tiny_bpe_vocab.txt.gz")
+        tok = SimpleTokenizer(bpe_path=vocab, context_length=TINY.context_length)
+        cfg = dataclasses.replace(TINY, vocab_size=len(tok.encoder))
+        hf = make_hf_model(cfg)
+        clip_pt = str(tmp_path / "tiny_clip_text.pt")
+        torch.save(hf.state_dict(), clip_pt)
+
+        import jax
+        import jax.numpy as jnp
+
+        from guided_diffusion_clip_tpu.utils.checkpoint import save_flax
+        from guided_diffusion_clip_tpu.utils.script_util import create_model
+
+        model = create_model(
+            image_size=16, num_channels=32, num_res_blocks=1, channel_mult="1,2",
+            learn_sigma=True, attention_resolutions="8", num_heads=2,
+            use_scale_shift_norm=True,
+        )
+        params = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,)))["params"]
+        ckpt_path = str(tmp_path / "model000001.flax")
+        save_flax(ckpt_path, params)
+
+        out_dir = str(tmp_path / "out_text")
+        os.makedirs(out_dir)
+        run_script(
+            "clip_guided_sample.py",
+            [
+                "--image_size", "16", "--num_channels", "32", "--num_res_blocks", "1",
+                "--channel_mult", "1,2", "--learn_sigma", "True",
+                "--attention_resolutions", "8", "--num_heads", "2",
+                "--diffusion_steps", "40", "--noise_schedule", "cosine",
+                "--timestep_respacing", "2",
+                "--model_path", ckpt_path,
+                "--clip_model_path", clip_pt,
+                "--text", "a photo of a cat",
+                "--clip_vocab", vocab,
+                "--clip_scale", "10",
+                "--batch_size", "1",
                 "--grad_through_pred_xstart", "False",
             ],
             env_extra={
