@@ -21,17 +21,77 @@ BENCH_IMAGE_SIZE (default 256), BENCH_REPEATS (default 3).
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_BASELINE_SAMPLES_PER_MIN = 2.5  # estimated; see module docstring
 
+METRIC_NAME = "samples/min/chip (256x256, 250-step classifier-guided)"
+
+
+def _emit(result: dict) -> None:
+    """The output contract is ONE parseable JSON line on stdout, always."""
+    sys.stdout.write(json.dumps(result) + "\n")
+    sys.stdout.flush()
+
+
+def _emit_error(msg: str) -> None:
+    _emit(
+        {
+            "metric": METRIC_NAME,
+            "value": 0,
+            "unit": "samples/min",
+            "vs_baseline": 0,
+            "error": msg[:800],
+        }
+    )
+
+
+def _init_backend_with_retry(retries: int = 3, timeout_s: float = 90.0):
+    """Initialize the jax backend defensively.
+
+    `jax.devices()` can hang forever when a remote TPU relay is half-dead
+    (observed in round 1: 550s of wall with 2s of CPU). Probe it from a
+    daemon thread with a timeout, retrying a few times, so a dead backend
+    becomes a reported error instead of a hang or a traceback.
+    """
+    from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+    import jax
+
+    last_err = "unknown"
+    for attempt in range(retries):
+        result = {}
+
+        def probe():
+            try:
+                result["devices"] = jax.devices()
+            except Exception as e:  # noqa: BLE001 - report, don't crash
+                result["error"] = repr(e)
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        if result.get("devices"):
+            return result["devices"]
+        last_err = result.get(
+            "error", f"jax.devices() did not return within {timeout_s:.0f}s"
+        )
+        time.sleep(5.0 * (attempt + 1))
+    raise RuntimeError(f"backend init failed after {retries} attempts: {last_err}")
+
 
 def main():
+    devices = _init_backend_with_retry()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    del devices  # probed for liveness; normal jax API used from here on
 
     from guided_diffusion_clip_tpu.diffusion.guidance import (
         classifier_cond_fn,
@@ -92,21 +152,44 @@ def main():
     rng = jax.random.key(0)
     p_rng, c_rng, rng = jax.random.split(rng, 3)
 
-    # random-init params (perf benchmark; checkpoints load identically)
-    params = jax.jit(model.init)(
-        p_rng, jnp.zeros(shape), jnp.zeros((B,)), y=jnp.zeros((B,), jnp.int32)
+    # Shape-inferred random params (perf benchmark; checkpoints load
+    # identically). jax.eval_shape + host-side fill avoids TWO full XLA
+    # compiles of model.init through the relay (minutes each).
+    del p_rng, c_rng
+
+    def random_fill(shapes, seed):
+        rs = np.random.RandomState(seed)
+        return jax.tree_util.tree_map(
+            lambda s: (rs.standard_normal(s.shape) * 0.02).astype(s.dtype), shapes
+        )
+
+    params = random_fill(
+        jax.eval_shape(
+            lambda: model.init(
+                jax.random.key(0), jnp.zeros(shape), jnp.zeros((B,)),
+                y=jnp.zeros((B,), jnp.int32),
+            )
+        ),
+        seed=0,
     )["params"]
-    cparams = jax.jit(classifier.init)(c_rng, jnp.zeros(shape), jnp.zeros((B,)))["params"]
+    cparams = random_fill(
+        jax.eval_shape(
+            lambda: classifier.init(jax.random.key(1), jnp.zeros(shape), jnp.zeros((B,)))
+        ),
+        seed=1,
+    )["params"]
 
     from guided_diffusion_clip_tpu.diffusion.sampling import (
         SamplerConfig,
         p_sample_step,
-        sample_chain_segment,
+        sample_chain_segment_dyn,
     )
 
     # The chain runs as segments of <=50 steps: identical math to one scan,
     # but each device dispatch stays under remote-worker execution limits
-    # (one 250-step program at batch 16 trips the worker watchdog).
+    # (one 250-step program at batch 16 trips the worker watchdog). The
+    # segment start travels as a TRACED scalar so all equal-length segments
+    # share ONE compiled executable (5x fewer multi-minute relay compiles).
     seg = int(os.environ.get("BENCH_SEGMENT_STEPS", 50))
     bounds = list(range(steps, 0, -seg)) + [0]
 
@@ -118,8 +201,8 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(4, 5))
-    def run_segment(params, cparams, x, key, t_hi, t_lo, classes):
+    @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
+    def run_segment(params, cparams, x, key, t_hi, seg_len, classes):
         def unet_fn(xx, t, **kw):
             return model.apply({"params": params}, xx, t, **kw)
 
@@ -128,8 +211,8 @@ def main():
 
         cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
         model_fn = model_fn_dropping_y(unet_fn, class_cond=True)
-        return sample_chain_segment(
-            p_sample_step, diffusion.sched, model_fn, x, key, t_hi, t_lo,
+        return sample_chain_segment_dyn(
+            p_sample_step, diffusion.sched, model_fn, x, key, t_hi, seg_len,
             cfg=SamplerConfig(
                 mean_type=diffusion.mean_type, var_type=diffusion.var_type
             ),
@@ -144,7 +227,7 @@ def main():
         x = init_noise(key)
         for t_hi, t_lo in zip(bounds[:-1], bounds[1:]):
             key = jax.random.fold_in(key, t_hi)
-            x = run_segment(params, cparams, x, key, t_hi, t_lo, classes)
+            x = run_segment(params, cparams, x, key, t_hi, t_hi - t_lo, classes)
         return float(jnp.sum(x))
 
     # warmup / compile
@@ -175,5 +258,30 @@ def main():
     print(json.dumps(result))
 
 
+def _arm_watchdog() -> None:
+    """Emit the error JSON line and hard-exit if the bench wedges.
+
+    Protects against mid-run hangs (e.g. a TPU relay dying between dispatches)
+    that would otherwise end in the driver's own timeout with no parseable
+    output at all.
+    """
+    budget_s = float(os.environ.get("BENCH_WATCHDOG_SECS", 2400))
+
+    def fire():
+        _emit_error(f"bench watchdog fired after {budget_s:.0f}s (wedged backend?)")
+        os._exit(3)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
-    main()
+    _arm_watchdog()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - contract: one JSON line, always
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        _emit_error(repr(e))
+        sys.exit(1)
