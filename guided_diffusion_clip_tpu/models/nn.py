@@ -88,6 +88,32 @@ def normalization(num_groups: int = 32) -> GroupNorm32:
     return GroupNorm32(num_groups=num_groups)
 
 
+class _QuantConvCore(nn.Module):
+    """Param-tree-compatible stand-in for nn.Conv running ops.quant.int8_conv.
+
+    Declares the same {kernel, bias} params (f32, HWIO) under the same module
+    name as the nn.Conv it replaces, so checkpoints round-trip identically
+    between the bf16 and int8 conv paths.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    zero: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.quant import int8_conv
+
+        init = zero_init if self.zero else nn.initializers.lecun_normal()
+        k = self.kernel_size
+        kernel = self.param("kernel", init, (k, k, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        p = (k - 1) // 2
+        y = int8_conv(x, kernel, self.stride, ((p, p), (p, p)))
+        return (y + bias).astype(x.dtype)
+
+
 class Conv(nn.Module):
     """3x3/1x1 conv in NHWC with optional zero init (the `zero_module` contract)."""
 
@@ -99,6 +125,16 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.config import resolve_conv_impl
+
+        if resolve_conv_impl() == "int8":
+            return _QuantConvCore(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                zero=self.zero,
+                name="conv",
+            )(x)
         init = zero_init if self.zero else nn.initializers.lecun_normal()
         bias_init = nn.initializers.zeros
         # Explicit symmetric padding (k-1)//2 on both sides, matching torch

@@ -29,3 +29,26 @@ def resolve_attention_impl() -> str:
     if impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return impl
+
+
+# ---------------------------------------------------------------------------
+# Conv implementation: "xla" (bf16/f32, default) or "int8" (dynamic-quantized
+# fast path for sampling — 2x MXU rate on v5e, see ops/quant.py). "auto"
+# currently resolves to "xla": int8 changes numerics, so it stays opt-in.
+# ---------------------------------------------------------------------------
+
+_conv_impl = os.environ.get("GDC_CONV_IMPL", "auto")
+
+
+def set_conv_impl(impl: str) -> None:
+    global _conv_impl
+    assert impl in ("auto", "xla", "int8"), impl
+    _conv_impl = impl
+
+
+def get_conv_impl() -> str:
+    return _conv_impl
+
+
+def resolve_conv_impl() -> str:
+    return "xla" if _conv_impl == "auto" else _conv_impl

@@ -1,0 +1,121 @@
+"""Dynamic int8 quantized convolution for the sampling fast path.
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate (394 vs 197
+TOPS), and 256px guided sampling is conv-compute-bound (see
+tools/conv_microbench.py: XLA's native bf16 conv already beats any matmul
+reformulation, so the only remaining 2x on the table is the int8 datapath).
+
+Scheme (weight-per-output-channel, activation-per-tensor, symmetric):
+    w_q[..., o] = round(w[..., o] / s_w[o]),   s_w[o] = max|w[..., o]| / 127
+    x_q         = round(x / s_x),              s_x    = max|x| / 127
+    y           = conv_s8(x_q, w_q) * (s_x * s_w) + b
+
+Both quantizations are dynamic (computed inside the jitted step); the weight
+quantization is loop-invariant in a `lax.scan` denoise chain, so XLA's while
+-loop invariant code motion hoists it out of the 250-step loop.
+
+The backward pass is straight-through (gradients computed through the f32
+conv with the ORIGINAL weights) so classifier guidance `jax.grad` composes
+with a quantized classifier forward.
+
+This is an opt-in path (GDC_CONV_IMPL=int8 / set_conv_impl): default stays
+bf16, which is the honest apples-to-apples against the fp16 torch reference
+(reference precision policy: guided_diffusion/fp16_util.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def quantize_per_tensor(x: jax.Array):
+    """Symmetric per-tensor int8: returns (values s8, scale f32 scalar)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def quantize_per_out_channel(w: jax.Array):
+    """Symmetric per-output-channel int8 over the last axis of HWIO weights."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=tuple(range(w.ndim - 1)))
+    scale = jnp.maximum(amax, _EPS) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _conv_f32(x, w, stride, padding):
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
+        (stride, stride),
+        padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_s8(x_q, w_q, stride, padding, *, via_float: bool):
+    """s8 x s8 conv with s32 accumulation.
+
+    `via_float` emulates the integer conv in f32 for backends without an s8
+    conv (CPU tests). Products fit f32 exactly per-tap (127*127 < 2^24); the
+    accumulated sum can exceed 2^24 so this is a test-only path with a small
+    tolerance, never the TPU path.
+    """
+    if via_float:
+        return jax.lax.conv_general_dilated(
+            x_q.astype(jnp.float32),
+            w_q.astype(jnp.float32),
+            (stride, stride),
+            padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.conv_general_dilated(
+        x_q,
+        w_q,
+        (stride, stride),
+        padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def int8_conv(x: jax.Array, w: jax.Array, stride: int = 1, padding=((1, 1), (1, 1))):
+    """Quantized NHWC conv, dequantized f32 output. Differentiable (STE)."""
+    return _int8_conv_fwd_impl(x, w, stride, padding)
+
+
+def _use_float_emulation() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _int8_conv_fwd_impl(x, w, stride, padding):
+    x_q, s_x = quantize_per_tensor(x)
+    w_q, s_w = quantize_per_out_channel(w)
+    acc = _conv_s8(x_q, w_q, stride, padding, via_float=_use_float_emulation())
+    return acc * (s_x * s_w)
+
+
+def _int8_conv_fwd(x, w, stride, padding):
+    return _int8_conv_fwd_impl(x, w, stride, padding), (x, w)
+
+
+def _int8_conv_bwd(stride, padding, res, g):
+    x, w = res
+    # Straight-through: differentiate the f32 conv at the original (x, w).
+    _, vjp = jax.vjp(lambda xx, ww: _conv_f32(xx, ww, stride, padding), x, w)
+    dx, dw = vjp(g.astype(jnp.float32))
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)

@@ -1,0 +1,204 @@
+"""Tests for the int8 quantized conv fast path (ops/quant.py).
+
+On CPU these run through the documented float-emulation of the s8 conv
+(identical quantization decisions; accumulation in f32), which is exact
+enough for the tolerance checks here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+from guided_diffusion_clip_tpu.ops.quant import (
+    int8_conv,
+    quantize_per_out_channel,
+    quantize_per_tensor,
+)
+
+
+@pytest.fixture(autouse=True)
+def _restore_conv_impl():
+    yield
+    set_conv_impl("auto")
+
+
+def _f32_conv(x, w, stride=1, padding=((1, 1), (1, 1))):
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def test_quantize_per_tensor_roundtrip():
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(4, 8, 8, 16).astype(np.float32))
+    q, s = quantize_per_tensor(x)
+    assert q.dtype == jnp.int8
+    deq = q.astype(jnp.float32) * s
+    # max quantization error is scale/2
+    assert float(jnp.max(jnp.abs(deq - x))) <= float(s) / 2 + 1e-6
+
+
+def test_quantize_per_out_channel_scales_independent():
+    rs = np.random.RandomState(1)
+    w = rs.randn(3, 3, 8, 4).astype(np.float32)
+    w[..., 2] *= 100.0  # one loud channel must not crush the others' precision
+    q, s = quantize_per_out_channel(jnp.asarray(w))
+    assert s.shape == (4,)
+    deq = q.astype(jnp.float32) * s
+    rel = np.abs(np.asarray(deq) - w).max(axis=(0, 1, 2)) / np.abs(w).max(axis=(0, 1, 2))
+    assert rel.max() < 0.005
+
+
+def test_int8_conv_close_to_f32():
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(2, 16, 16, 32).astype(np.float32))
+    w = jnp.asarray((rs.randn(3, 3, 32, 48) * 0.05).astype(np.float32))
+    y_q = int8_conv(x, w)
+    y_f = _f32_conv(x, w)
+    # int8 dynamic quantization: ~1% relative error at these magnitudes
+    denom = float(jnp.max(jnp.abs(y_f))) + 1e-6
+    rel = float(jnp.max(jnp.abs(y_q - y_f))) / denom
+    assert rel < 0.02, rel
+
+
+def test_int8_conv_strided():
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray((rs.randn(3, 3, 8, 8) * 0.1).astype(np.float32))
+    y_q = int8_conv(x, w, 2, ((1, 1), (1, 1)))
+    y_f = _f32_conv(x, w, stride=2)
+    assert y_q.shape == y_f.shape == (2, 8, 8, 8)
+    denom = float(jnp.max(jnp.abs(y_f))) + 1e-6
+    assert float(jnp.max(jnp.abs(y_q - y_f))) / denom < 0.02
+
+
+def test_int8_conv_zero_weights_exact_zero():
+    x = jnp.ones((1, 4, 4, 4), jnp.float32)
+    w = jnp.zeros((3, 3, 4, 4), jnp.float32)
+    assert float(jnp.max(jnp.abs(int8_conv(x, w)))) == 0.0
+
+
+def test_int8_conv_straight_through_gradients():
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(1, 8, 8, 8).astype(np.float32))
+    w = jnp.asarray((rs.randn(3, 3, 8, 8) * 0.1).astype(np.float32))
+
+    gq = jax.grad(lambda xx: jnp.sum(int8_conv(xx, w) ** 2) / 100.0)(x)
+    # STE: cotangent flows through the f32 conv; same primal output feeds the
+    # loss, so grads agree with f32 grads up to the fwd quantization error.
+    gf = jax.grad(lambda xx: jnp.sum(_f32_conv(xx, w) ** 2) / 100.0)(x)
+    denom = float(jnp.max(jnp.abs(gf))) + 1e-6
+    assert float(jnp.max(jnp.abs(gq - gf))) / denom < 0.05
+
+
+def test_conv_module_param_tree_identical_and_output_close():
+    import flax.linen as fnn
+
+    from guided_diffusion_clip_tpu.models.nn import Conv
+
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(2, 8, 8, 16).astype(np.float32))
+
+    m = Conv(features=24, kernel_size=3, dtype=jnp.float32)
+    set_conv_impl("xla")
+    p_xla = m.init(jax.random.key(0), x)
+    y_xla = m.apply(p_xla, x)
+
+    set_conv_impl("int8")
+    p_q = m.init(jax.random.key(0), x)
+    y_q = m.apply(p_q, x)  # same params: init is impl-independent
+
+    assert jax.tree_util.tree_structure(p_xla) == jax.tree_util.tree_structure(p_q)
+    for a, b in zip(jax.tree_util.tree_leaves(p_xla), jax.tree_util.tree_leaves(p_q)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+    denom = float(jnp.max(jnp.abs(y_xla))) + 1e-6
+    assert float(jnp.max(jnp.abs(y_q - y_xla))) / denom < 0.02
+
+
+def test_unet_forward_int8_close_to_xla():
+    """Tiny UNet: the quantized forward stays close to the bf16/f32 forward."""
+    from guided_diffusion_clip_tpu.utils.script_util import create_upstream_model
+
+    model = create_upstream_model(
+        image_size=32, num_channels=32, num_res_blocks=1, channel_mult="1,2",
+        learn_sigma=False, class_cond=False, use_checkpoint=False,
+        attention_resolutions="16", num_heads=2, num_head_channels=-1,
+        num_heads_upsample=-1, use_scale_shift_norm=True, dropout=0.0,
+        resblock_updown=False, use_fp16=False, use_new_attention_order=False,
+    )
+    rs = np.random.RandomState(6)
+    x = jnp.asarray(rs.randn(1, 32, 32, 3).astype(np.float32))
+    t = jnp.asarray([17.0], jnp.float32)
+
+    set_conv_impl("xla")
+    params = model.init(jax.random.key(1), x, t)
+    y_ref = model.apply(params, x, t)
+
+    set_conv_impl("int8")
+    y_q = model.apply(params, x, t)
+
+    assert y_q.shape == y_ref.shape
+    err = float(jnp.max(jnp.abs(y_q - y_ref)))
+    scale = float(jnp.max(jnp.abs(y_ref))) + 1e-6
+    assert err / scale < 0.15, err / scale  # accumulated layerwise quant noise
+
+
+def test_int8_sampling_chain_stable():
+    """A full tiny guided p_sample chain under int8 convs stays finite and
+    lands in the same value range as the bf16/f32 chain."""
+    from guided_diffusion_clip_tpu.diffusion import (
+        SamplerConfig, named_schedule, p_sample_loop,
+    )
+    from guided_diffusion_clip_tpu.diffusion.guidance import classifier_cond_fn
+    from guided_diffusion_clip_tpu.utils.script_util import (
+        create_classifier, create_upstream_model,
+    )
+
+    model = create_upstream_model(
+        image_size=64, num_channels=32, num_res_blocks=1, channel_mult="1,2",
+        learn_sigma=True, class_cond=False, use_checkpoint=False,
+        attention_resolutions="32", num_heads=2, num_head_channels=-1,
+        num_heads_upsample=-1, use_scale_shift_norm=True, dropout=0.0,
+        resblock_updown=False, use_fp16=False, use_new_attention_order=False,
+    )
+    classifier = create_classifier(
+        image_size=64, classifier_use_fp16=False, classifier_width=32,
+        classifier_depth=1, classifier_attention_resolutions="32",
+        classifier_use_scale_shift_norm=True, classifier_resblock_updown=False,
+        classifier_pool="attention",
+    )
+    shape = (1, 64, 64, 3)
+    x0 = jnp.zeros(shape)
+    t0 = jnp.zeros((1,))
+    params = model.init(jax.random.key(0), x0, t0)
+    cparams = classifier.init(jax.random.key(1), x0, t0)
+    sched = named_schedule("cosine", 50)
+    cfg = SamplerConfig()
+    y = jnp.zeros((1,), jnp.int32)
+    cond = classifier_cond_fn(
+        lambda xx, tt: classifier.apply(cparams, xx, tt), 1.0
+    )
+
+    def run():
+        return p_sample_loop(
+            sched,
+            lambda xx, tt, **kw: model.apply(params, xx, tt),
+            shape, jax.random.key(2), cfg=cfg, cond_fn=cond,
+            model_kwargs={"y": y},
+        )
+
+    set_conv_impl("xla")
+    ref = np.asarray(jax.jit(run)())
+    set_conv_impl("int8")
+    got = np.asarray(jax.jit(run)())
+
+    assert np.isfinite(got).all()
+    # Quantization noise accumulates over 50 steps; the chains must stay in
+    # the same ballpark (same dynamic range, highly overlapping support).
+    assert abs(got.std() - ref.std()) / (ref.std() + 1e-6) < 0.5
+    assert np.abs(got).max() < 10 * max(np.abs(ref).max(), 1.0)

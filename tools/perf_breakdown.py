@@ -35,12 +35,17 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 
 
 def timed(fn, *args, n=3, **kwargs):
-    fn(*args, **kwargs)  # compile + warm
+    """fn MUST be jitted and reduce to a scalar (or small tensor) ITSELF.
+
+    Any post-hoc `jnp.sum(result)` here would be an eager op through the TPU
+    relay — measured at 10-50s per dispatch, which swamps the signal (this is
+    exactly what corrupted the first round-2 breakdown run).
+    """
+    float(fn(*args, **kwargs))  # compile + warm
     best = float("inf")
     for _ in range(n):
         t0 = time.time()
-        r = fn(*args, **kwargs)
-        float(jnp.sum(r[0] if isinstance(r, tuple) else r))
+        float(fn(*args, **kwargs))  # scalar fetch forces completion
         best = min(best, time.time() - t0)
     return best
 
@@ -93,13 +98,34 @@ def main():
     y = jnp.zeros((B,), jnp.int32)
     key = jax.random.key(3)
 
+    # Every timed program reduces to a scalar IN-JIT (eager reductions cost
+    # 10-50s each through the relay) and repeats the op REPS times on a data
+    # -dependent carry so per-dispatch relay overhead (~25ms) amortizes away.
+    REPS = int(os.environ.get("BD_REPS", 8))
+
+    def repeat(f):
+        def body(carry, _):
+            out = f(carry)
+            return carry + 1e-6 * out[..., :3].astype(carry.dtype), jnp.sum(out[:1, :1])
+
+        def run(x0):
+            _, sums = jax.lax.scan(body, x0, None, length=REPS)
+            return jnp.sum(sums)
+
+        return run
+
     @jax.jit
     def unet_fwd(p, x, t, y):
-        return model.apply({"params": p}, x, t, y=y)
+        return repeat(lambda xx: model.apply({"params": p}, xx, t, y=y))(x)
 
     @jax.jit
     def cls_fwd(cp, x, t):
-        return classifier.apply({"params": cp}, x, t)
+        def body(carry, _):
+            logits = classifier.apply({"params": cp}, carry, t)
+            return carry + 1e-6 * jnp.mean(logits), jnp.sum(logits[:1])
+
+        _, sums = jax.lax.scan(body, x, None, length=REPS)
+        return jnp.sum(sums)
 
     @jax.jit
     def cls_grad(cp, x, t, y):
@@ -108,7 +134,7 @@ def main():
             lsm = jax.nn.log_softmax(logits)
             return lsm[jnp.arange(B), y].sum()
 
-        return jax.grad(lp)(x)
+        return repeat(lambda xx: jax.grad(lp)(xx))(x)
 
     @jax.jit
     def full_step(p, cp, x, ti, key, y):
@@ -120,22 +146,37 @@ def main():
 
         cond_fn = classifier_cond_fn(classifier_fn, 1.0)
         model_fn = model_fn_dropping_y(unet_fn, True)
-        s, _ = p_sample_step(
-            diffusion.sched, model_fn, x, ti, key,
-            cfg=SamplerConfig(mean_type=diffusion.mean_type, var_type=diffusion.var_type),
-            cond_fn=cond_fn, model_kwargs={"y": y},
-        )
-        return s
+
+        def body(carry, _):
+            s, _ = p_sample_step(
+                diffusion.sched, model_fn, carry, ti, key,
+                cfg=SamplerConfig(mean_type=diffusion.mean_type, var_type=diffusion.var_type),
+                cond_fn=cond_fn, model_kwargs={"y": y},
+            )
+            return s, ()
+
+        out, _ = jax.lax.scan(body, x, None, length=REPS)
+        return jnp.sum(out[:1, :1])
 
     impl = os.environ.get("GDC_ATTENTION_IMPL", "auto")
-    results = {
-        "batch": B,
-        "attention_impl": impl,
-        "unet_fwd_ms": round(timed(unet_fwd, params, x, t, y) * 1000, 1),
-        "cls_fwd_ms": round(timed(cls_fwd, cparams, x, t) * 1000, 1),
-        "cls_grad_ms": round(timed(cls_grad, cparams, x, ti.astype(jnp.float32), y) * 1000, 1),
-        "full_step_ms": round(timed(full_step, params, cparams, x, ti, key, y) * 1000, 1),
-    }
+    results = {"batch": B, "attention_impl": impl}
+    phases = [
+        ("unet_fwd_ms", lambda: timed(unet_fwd, params, x, t, y)),
+        ("cls_fwd_ms", lambda: timed(cls_fwd, cparams, x, t)),
+        ("cls_grad_ms", lambda: timed(cls_grad, cparams, x, ti.astype(jnp.float32), y)),
+        ("full_step_ms", lambda: timed(full_step, params, cparams, x, ti, key, y)),
+    ]
+    only = os.environ.get("BD_ONLY", "")
+    for name, run in phases:
+        if only and name not in only:
+            continue
+        results[name] = round(run() * 1000 / REPS, 2)
+        print(f"{name}: {results[name]}", flush=True)
+    if "full_step_ms" not in results:
+        import json
+
+        print(json.dumps(results))
+        return
     results["per_sample_step_ms"] = round(results["full_step_ms"] / B, 2)
     results["proj_samples_per_min_250"] = round(
         60.0 / (results["full_step_ms"] / 1000 * 250 / B), 2
