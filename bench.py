@@ -158,10 +158,17 @@ def main():
     del p_rng, c_rng
 
     def random_fill(shapes, seed):
+        """Host-filled params, then device_put ONCE.
+
+        Feeding host numpy trees into jit re-uploads every param on every
+        dispatch — through a remote TPU relay that is ~30s per call for the
+        550MB ADM-256 UNet, which silently dominates any timing.
+        """
         rs = np.random.RandomState(seed)
-        return jax.tree_util.tree_map(
+        host = jax.tree_util.tree_map(
             lambda s: (rs.standard_normal(s.shape) * 0.02).astype(s.dtype), shapes
         )
+        return jax.device_put(host)
 
     params = random_fill(
         jax.eval_shape(

@@ -58,7 +58,14 @@ class GroupNorm32(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, activation: str | None = None, scale_shift=None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        activation: str | None = None,
+        scale_shift=None,
+        quantize: bool = False,
+    ):
         from ..ops.pallas_groupnorm import group_norm
 
         C = x.shape[-1]
@@ -81,6 +88,7 @@ class GroupNorm32(nn.Module):
             x, scale, bias,
             groups=groups, eps=self.epsilon,
             silu=(activation == "silu"), scale_shift=scale_shift, impl=impl,
+            quantize_out=quantize,
         )
 
 
@@ -102,14 +110,21 @@ class _QuantConvCore(nn.Module):
     zero: bool
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        from ..ops.quant import int8_conv
+    def __call__(self, x: jax.Array, prequant_scales: jax.Array | None = None) -> jax.Array:
+        from ..ops.quant import conv_prequant, int8_conv
 
         init = zero_init if self.zero else nn.initializers.lecun_normal()
         k = self.kernel_size
         kernel = self.param("kernel", init, (k, k, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         p = (k - 1) // 2
+        if prequant_scales is not None:
+            # x is the (q, s_pix) handshake from a quantizing GroupNorm: the
+            # dequant scale + bias fuse into the conv epilogue.
+            y = conv_prequant(
+                x, prequant_scales, kernel, bias, self.stride, ((p, p), (p, p))
+            )
+            return y.astype(x.dtype)
         y = int8_conv(x, kernel, self.stride, ((p, p), (p, p)))
         return (y + bias).astype(x.dtype)
 
@@ -124,9 +139,17 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, prequant_scales: jax.Array | None = None) -> jax.Array:
         from ..ops.config import resolve_conv_impl
 
+        if prequant_scales is not None:
+            return _QuantConvCore(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                zero=self.zero,
+                name="conv",
+            )(x, prequant_scales)
         if resolve_conv_impl() == "int8":
             return _QuantConvCore(
                 features=self.features,

@@ -165,16 +165,30 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
+        from ..ops.config import resolve_conv_impl
+
         C = x.shape[-1]
         out_ch = self.out_channels
-        h = GroupNorm32(name="in_norm")(x, activation="silu")
-        if self.up:
-            h = upsample_nearest_2x(h)
-            x = upsample_nearest_2x(x)
-        elif self.down:
-            h = avg_pool_2x(h)
-            x = avg_pool_2x(x)
-        h = Conv(out_ch, 3, dtype=self.dtype, name="in_conv")(h)
+        # int8 fast path: each GN+SiLU emits per-pixel int8 (q, s) consumed
+        # directly by the following 3x3 conv on the int8 MXU datapath (2x
+        # bf16 rate on v5e) with the dequant fused into the conv epilogue.
+        # Skipped around resampling (pooling quantized values would change
+        # the math) and under dropout (dropping q breaks the q*s pairing).
+        quant = (
+            resolve_conv_impl() == "int8" and not self.up and not self.down
+        )
+        if quant:
+            q, s = GroupNorm32(name="in_norm")(x, activation="silu", quantize=True)
+            h = Conv(out_ch, 3, dtype=self.dtype, name="in_conv")(q, prequant_scales=s)
+        else:
+            h = GroupNorm32(name="in_norm")(x, activation="silu")
+            if self.up:
+                h = upsample_nearest_2x(h)
+                x = upsample_nearest_2x(x)
+            elif self.down:
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
+            h = Conv(out_ch, 3, dtype=self.dtype, name="in_conv")(h)
 
         # emb MLP stays f32 (fp16_util converts convs only), cast at the join
         # like the reference's .type(h.dtype) (unet.py:245).
@@ -182,14 +196,23 @@ class ResBlock(nn.Module):
         emb_out = Dense(emb_width, dtype=jnp.float32, name="emb_proj")(silu(emb))
         emb_out = emb_out.astype(h.dtype)[:, None, None, :]
 
+        quant_out = quant and (self.dropout == 0.0 or not train)
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="out_norm")(h, activation="silu", scale_shift=(scale, shift))
+            h = GroupNorm32(name="out_norm")(
+                h, activation="silu", scale_shift=(scale, shift), quantize=quant_out
+            )
         else:
             h = h + emb_out
-            h = GroupNorm32(name="out_norm")(h, activation="silu")
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = Conv(out_ch, 3, zero=True, dtype=self.dtype, name="out_conv")(h)
+            h = GroupNorm32(name="out_norm")(h, activation="silu", quantize=quant_out)
+        if quant_out:
+            q, s = h
+            h = Conv(out_ch, 3, zero=True, dtype=self.dtype, name="out_conv")(
+                q, prequant_scales=s
+            )
+        else:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            h = Conv(out_ch, 3, zero=True, dtype=self.dtype, name="out_conv")(h)
 
         if out_ch == C:
             skip = x

@@ -119,3 +119,80 @@ def _int8_conv_bwd(stride, padding, res, g):
 
 
 int8_conv.defvjp(_int8_conv_fwd, _int8_conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pre-quantized conv: consumes the (q, s_img) pair emitted by the fused
+# GroupNorm quantize pass (ops/pallas_groupnorm.py). q holds exact integers
+# in bf16/f32; the per-image scale is constant over every receptive field,
+# so dequantization is one broadcast multiply fused into the conv epilogue.
+# This removes the separate amax + quantize HBM passes that ate most of the
+# plain int8_conv win (UNet fwd 340ms bf16 -> only 323ms int8-with-passes).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv_prequant(q, s_img, w, b, stride: int = 1, padding=((1, 1), (1, 1))):
+    """y = conv(q, w) * (s_img * s_w) + b, computed in int8 on the MXU.
+
+    q: (B, H, W, C) integer-valued bf16/f32 in [-127, 127] (the quantizing
+    GroupNorm's output); s_img: (B,) f32 per-image activation scales (MUST
+    be constant over each image: a 3x3 output mixes 9 input pixels, so only
+    a receptive-field-constant scale factors out of the contraction); w:
+    (k, k, C, K) f32; b: (K,) f32. Output f32.
+    """
+    return _conv_prequant_impl(q, s_img, w, b, stride, padding)
+
+
+def _conv_prequant_impl(q, s_img, w, b, stride, padding):
+    w_q, s_w = quantize_per_out_channel(w)
+    if _use_float_emulation():
+        acc = jax.lax.conv_general_dilated(
+            q.astype(jnp.float32),
+            w_q.astype(jnp.float32),
+            (stride, stride),
+            padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = jax.lax.conv_general_dilated(
+            q.astype(jnp.int8),
+            w_q,
+            (stride, stride),
+            padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    return acc * (s_img[:, None, None, None] * s_w) + b
+
+
+def _conv_prequant_fwd(q, s_img, w, b, stride, padding):
+    return _conv_prequant_impl(q, s_img, w, b, stride, padding), (q, s_img, w)
+
+
+def _conv_prequant_bwd(stride, padding, res, g):
+    q, s_img, w = res
+
+    # Straight-through at the original (dequantized) activations and bf16
+    # operands (an f32 conv runs at half MXU rate); s_img is stop-gradient.
+    def ref(q_, w_, b_):
+        x = (q_.astype(jnp.float32) * s_img[:, None, None, None]).astype(jnp.bfloat16)
+        y = jax.lax.conv_general_dilated(
+            x,
+            w_,
+            (stride, stride),
+            padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b_
+
+    # everything bf16 so the transposed convs stay on the full-rate MXU path
+    _, vjp = jax.vjp(
+        ref, q, w.astype(jnp.bfloat16), jnp.zeros((w.shape[-1],), jnp.bfloat16)
+    )
+    dq, dw, db = vjp(g.astype(jnp.bfloat16))
+    return dq.astype(q.dtype), jnp.zeros_like(s_img), dw.astype(w.dtype), db
+
+
+conv_prequant.defvjp(_conv_prequant_fwd, _conv_prequant_bwd)

@@ -120,6 +120,7 @@ def test_conv_module_param_tree_identical_and_output_close():
     assert float(jnp.max(jnp.abs(y_q - y_xla))) / denom < 0.02
 
 
+@pytest.mark.slow
 def test_unet_forward_int8_close_to_xla():
     """Tiny UNet: the quantized forward stays close to the bf16/f32 forward."""
     from guided_diffusion_clip_tpu.utils.script_util import create_upstream_model
@@ -148,6 +149,7 @@ def test_unet_forward_int8_close_to_xla():
     assert err / scale < 0.15, err / scale  # accumulated layerwise quant noise
 
 
+@pytest.mark.slow
 def test_int8_sampling_chain_stable():
     """A full tiny guided p_sample chain under int8 convs stays finite and
     lands in the same value range as the bf16/f32 chain."""
@@ -202,3 +204,88 @@ def test_int8_sampling_chain_stable():
     # the same ballpark (same dynamic range, highly overlapping support).
     assert abs(got.std() - ref.std()) / (ref.std() + 1e-6) < 0.5
     assert np.abs(got).max() < 10 * max(np.abs(ref).max(), 1.0)
+
+
+def test_gn_quantize_out_reconstructs():
+    """(q, s) from the quantizing GroupNorm reconstructs GN output to <0.5%."""
+    from guided_diffusion_clip_tpu.ops.pallas_groupnorm import group_norm
+
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(2, 6, 6, 64).astype(np.float32)) * 3.0
+    gamma = jnp.asarray(rs.rand(64).astype(np.float32) + 0.5)
+    beta = jnp.asarray(rs.randn(64).astype(np.float32) * 0.1)
+
+    y = group_norm(x, gamma, beta, groups=32, silu=True, impl="xla")
+    q, s = group_norm(x, gamma, beta, groups=32, silu=True, impl="xla", quantize_out=True)
+    assert q.shape == x.shape and s.shape == (x.shape[0],)
+    # integer-valued q within int8 range
+    qn = np.asarray(q)
+    assert np.all(np.abs(qn) <= 127) and np.allclose(qn, np.round(qn))
+    recon = qn * np.asarray(s)[:, None, None, None]
+    err = np.abs(recon - np.asarray(y)).max()
+    # scale is a 5-sigma bound, not a tight amax: allow bound/127 rounding
+    # plus rare saturation
+    assert err <= float(np.asarray(s).max()) * 1.0
+
+
+def test_gn_quantize_pallas_interpret_matches_xla():
+    from guided_diffusion_clip_tpu.ops.pallas_groupnorm import group_norm
+
+    rs = np.random.RandomState(8)
+    x = jnp.asarray(rs.randn(2, 8, 8, 64).astype(np.float32))
+    gamma = jnp.ones((64,), jnp.float32)
+    beta = jnp.zeros((64,), jnp.float32)
+    q_x, s_x = group_norm(x, gamma, beta, groups=32, silu=True, impl="xla", quantize_out=True)
+    q_p, s_p = group_norm(
+        x, gamma, beta, groups=32, silu=True, impl="pallas_interpret", quantize_out=True
+    )
+    np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_x), np.asarray(q_p), atol=1.0)
+
+
+def test_conv_prequant_matches_f32():
+    from guided_diffusion_clip_tpu.ops.pallas_groupnorm import group_norm
+    from guided_diffusion_clip_tpu.ops.quant import conv_prequant
+
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(2, 8, 8, 64).astype(np.float32))
+    gamma = jnp.ones((64,), jnp.float32)
+    beta = jnp.zeros((64,), jnp.float32)
+    w = jnp.asarray((rs.randn(3, 3, 64, 32) * 0.1).astype(np.float32))
+    b = jnp.asarray(rs.randn(32).astype(np.float32) * 0.1)
+
+    y_ref = _f32_conv(
+        group_norm(x, gamma, beta, groups=32, silu=True, impl="xla"), w
+    ) + b
+    q, s = group_norm(x, gamma, beta, groups=32, silu=True, impl="xla", quantize_out=True)
+    y_q = conv_prequant(q, s, w, b)
+    denom = float(jnp.max(jnp.abs(y_ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(y_q - y_ref))) / denom < 0.03
+
+
+def test_gn_conv_prequant_gradients_flow():
+    """STE composition: grad through GN_q -> conv_prequant approximates the
+    unquantized chain's gradient (classifier guidance depends on this)."""
+    from guided_diffusion_clip_tpu.ops.pallas_groupnorm import group_norm
+    from guided_diffusion_clip_tpu.ops.quant import conv_prequant
+
+    rs = np.random.RandomState(10)
+    x = jnp.asarray(rs.randn(1, 8, 8, 64).astype(np.float32))
+    gamma = jnp.ones((64,), jnp.float32)
+    beta = jnp.zeros((64,), jnp.float32)
+    w = jnp.asarray((rs.randn(3, 3, 64, 32) * 0.1).astype(np.float32))
+    b = jnp.zeros((32,), jnp.float32)
+
+    def loss_q(xx):
+        q, s = group_norm(xx, gamma, beta, groups=32, silu=True, impl="xla", quantize_out=True)
+        return jnp.sum(conv_prequant(q, s, w, b) ** 2)
+
+    def loss_f(xx):
+        y = group_norm(xx, gamma, beta, groups=32, silu=True, impl="xla")
+        return jnp.sum((_f32_conv(y, w) + b) ** 2)
+
+    gq = jax.grad(loss_q)(x)
+    gf = jax.grad(loss_f)(x)
+    assert np.isfinite(np.asarray(gq)).all() and float(jnp.max(jnp.abs(gq))) > 0
+    denom = float(jnp.max(jnp.abs(gf))) + 1e-6
+    assert float(jnp.max(jnp.abs(gq - gf))) / denom < 0.1

@@ -75,10 +75,13 @@ def main():
     shape = (B, size, size, 3)
 
     def random_fill(shapes, seed):
+        # device_put ONCE: host numpy trees fed to jit re-upload per dispatch
+        # (~30s/550MB through the relay), swamping every measurement.
         rs = np.random.RandomState(seed)
-        return jax.tree_util.tree_map(
+        host = jax.tree_util.tree_map(
             lambda s: (rs.standard_normal(s.shape) * 0.02).astype(s.dtype), shapes
         )
+        return jax.device_put(host)
 
     params = random_fill(
         jax.eval_shape(lambda: model.init(
@@ -168,7 +171,7 @@ def main():
     ]
     only = os.environ.get("BD_ONLY", "")
     for name, run in phases:
-        if only and name not in only:
+        if only and only not in name:
             continue
         results[name] = round(run() * 1000 / REPS, 2)
         print(f"{name}: {results[name]}", flush=True)
