@@ -74,10 +74,14 @@ class GroupNorm32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
 
+        from ..ops.config import resolve_groupnorm_impl
+
         hw = 1
         for s in x.shape[1:-1]:
             hw *= s
-        impl = "auto" if hw * C >= 1 << 16 else "xla"  # tiny maps: no kernel win
+        impl = resolve_groupnorm_impl(quantize=quantize)
+        if impl == "pallas" and hw * C < 1 << 16:
+            impl = "xla"  # tiny maps: no kernel win
         if scale_shift is not None:
             ss, sb = scale_shift
             scale_shift = (

@@ -40,6 +40,30 @@ def resolve_attention_impl() -> str:
 _conv_impl = os.environ.get("GDC_CONV_IMPL", "auto")
 
 
+# ---------------------------------------------------------------------------
+# GroupNorm implementation. "auto" is path-dependent, from in-context v5e
+# measurements (tools/block_microbench.py + tools/perf_breakdown.py, round
+# 2): the plain bf16 UNet forward is faster with the Pallas kernel (340 vs
+# 374 ms), but the QUANTIZING GN is faster as an XLA composite (full int8
+# step 372 vs 434 ms) because XLA fuses the quantize chain into neighbors
+# while a pallas_call is an opaque fusion barrier.
+# ---------------------------------------------------------------------------
+
+_groupnorm_impl = os.environ.get("GDC_GROUPNORM_IMPL", "auto")
+
+
+def set_groupnorm_impl(impl: str) -> None:
+    global _groupnorm_impl
+    assert impl in ("auto", "xla", "pallas", "pallas_interpret"), impl
+    _groupnorm_impl = impl
+
+
+def resolve_groupnorm_impl(quantize: bool = False) -> str:
+    if _groupnorm_impl == "auto":
+        return "xla" if quantize else "pallas"
+    return _groupnorm_impl
+
+
 def set_conv_impl(impl: str) -> None:
     global _conv_impl
     assert impl in ("auto", "xla", "int8"), impl

@@ -85,7 +85,7 @@ def _apply_quant_kernel(x_ref, a_ref, b_ref, inv_ref, q_ref, *, silu: bool):
     y = x * a_ref[0] + b_ref[0]
     if silu:
         y = y * jax.nn.sigmoid(y)
-    q = jnp.clip(jnp.round(y * inv_ref[0, 0]), -127.0, 127.0)
+    q = jnp.clip(jnp.round(y * inv_ref[0, 0, 0]), -127.0, 127.0)
     q_ref[0] = q.astype(q_ref.dtype)
 
 
@@ -252,23 +252,25 @@ def fused_group_norm_quant(x, scale, bias, groups, eps, silu, scale_shift, inter
         b = b * (1.0 + ss) + sb
 
     s, inv = _bound_scale(a, b, xmn.reshape(B, C), xmx.reshape(B, C), silu)
+    thw_q = _pick_tile(hw, C, xf.dtype.itemsize, budget_bytes=1024 * 1024)
+    grid_q = (B, hw // thw_q)
     q = pl.pallas_call(
         functools.partial(_apply_quant_kernel, silu=silu),
         out_shape=jax.ShapeDtypeStruct((B, hw, C), x.dtype),
-        grid=grid,
+        grid=grid_q,
         in_specs=[
-            pl.BlockSpec((1, thw, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, thw_q, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, i: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, thw, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, thw_q, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(
         xf,
         a.reshape(B, 1, C).astype(jnp.float32),
         b.reshape(B, 1, C).astype(jnp.float32),
-        inv.reshape(B, 1).astype(jnp.float32),
+        jnp.broadcast_to(inv.astype(jnp.float32)[:, None, None], (B, 1, 128)),
     )
     return q.reshape(orig_shape), s
 
