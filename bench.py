@@ -208,60 +208,88 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
-    def run_segment(params, cparams, x, key, t_hi, seg_len, classes):
-        def unet_fn(xx, t, **kw):
-            return model.apply({"params": params}, xx, t, **kw)
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
 
-        def classifier_fn(xx, t):
-            return classifier.apply({"params": cparams}, xx, t)
+    def make_run_segment():
+        """Fresh jit cache: the conv impl is read at TRACE time, so each
+        precision mode traces its own executable."""
 
-        cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
-        model_fn = model_fn_dropping_y(unet_fn, class_cond=True)
-        return sample_chain_segment_dyn(
-            p_sample_step, diffusion.sched, model_fn, x, key, t_hi, seg_len,
-            cfg=SamplerConfig(
-                mean_type=diffusion.mean_type, var_type=diffusion.var_type
-            ),
-            cond_fn=cond_fn, model_kwargs={"y": classes},
-        )
+        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
+        def run_segment(params, cparams, x, key, t_hi, seg_len, classes):
+            def unet_fn(xx, t, **kw):
+                return model.apply({"params": params}, xx, t, **kw)
+
+            def classifier_fn(xx, t):
+                return classifier.apply({"params": cparams}, xx, t)
+
+            cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
+            model_fn = model_fn_dropping_y(unet_fn, class_cond=True)
+            return sample_chain_segment_dyn(
+                p_sample_step, diffusion.sched, model_fn, x, key, t_hi, seg_len,
+                cfg=SamplerConfig(
+                    mean_type=diffusion.mean_type, var_type=diffusion.var_type
+                ),
+                cond_fn=cond_fn, model_kwargs={"y": classes},
+            )
+
+        return run_segment
 
     classes = jnp.zeros((B,), jnp.int32)
 
-    def run_and_fetch(key):
-        # fetch-based completion: block_until_ready is unreliable through
-        # remote-attached TPU relays (returns before execution finishes)
-        x = init_noise(key)
-        for t_hi, t_lo in zip(bounds[:-1], bounds[1:]):
-            key = jax.random.fold_in(key, t_hi)
-            x = run_segment(params, cparams, x, key, t_hi, t_hi - t_lo, classes)
-        return float(jnp.sum(x))
+    def measure(conv_impl: str, n_repeats: int):
+        set_conv_impl(conv_impl)
+        run_segment = make_run_segment()
 
-    # warmup / compile
-    t0 = time.time()
-    run_and_fetch(jax.random.key(1))
-    compile_s = time.time() - t0
+        def run_and_fetch(key):
+            # fetch-based completion: block_until_ready is unreliable through
+            # remote-attached TPU relays (returns before execution finishes)
+            x = init_noise(key)
+            for t_hi, t_lo in zip(bounds[:-1], bounds[1:]):
+                key = jax.random.fold_in(key, t_hi)
+                x = run_segment(params, cparams, x, key, t_hi, t_hi - t_lo, classes)
+            return float(jnp.sum(x))
 
-    times = []
-    for i in range(repeats):
         t0 = time.time()
-        run_and_fetch(jax.random.key(2 + i))
-        times.append(time.time() - t0)
-    best = min(times)
+        run_and_fetch(jax.random.key(1))
+        compile_s = time.time() - t0
+        times = []
+        for i in range(n_repeats):
+            t0 = time.time()
+            run_and_fetch(jax.random.key(2 + i))
+            times.append(time.time() - t0)
+        return min(times), compile_s
 
-    steps_per_sec = steps / best
+    # Headline: bf16 — the honest precision-for-precision comparison against
+    # the fp16 torch reference. The int8 MXU fast path (GDC_CONV_IMPL=int8,
+    # quality-bounded vs bf16 by tests/test_quant.py) is reported alongside.
+    modes = [m for m in os.environ.get("BENCH_MODES", "bf16,int8").split(",") if m]
+    best, compile_s = measure(
+        "xla" if modes[0] == "bf16" else modes[0], repeats
+    )
     samples_per_min = B * 60.0 / best
     result = {
-        "metric": f"samples/min/chip ({image_size}x{image_size}, {steps}-step classifier-guided, batch {B}, bf16)",
+        "metric": f"samples/min/chip ({image_size}x{image_size}, {steps}-step classifier-guided, batch {B}, {modes[0]})",
         "value": round(samples_per_min, 3),
         "unit": "samples/min",
         "vs_baseline": round(samples_per_min / A100_BASELINE_SAMPLES_PER_MIN, 3),
-        "steps_per_sec_per_chip": round(steps_per_sec, 3),
+        "steps_per_sec_per_chip": round(steps / best, 3),
         "sec_per_batch": round(best, 3),
         "compile_sec": round(compile_s, 1),
         "device": str(jax.devices()[0]),
         "baseline_estimate": f"{A100_BASELINE_SAMPLES_PER_MIN} samples/min on A100 (PyTorch fp16, estimated; reference publishes no throughput)",
     }
+    for extra in modes[1:]:
+        try:
+            best_x, compile_x = measure(
+                "int8" if extra == "int8" else extra,
+                max(1, int(os.environ.get("BENCH_EXTRA_REPEATS", 2))),
+            )
+            spm = B * 60.0 / best_x
+            result[f"{extra}_samples_per_min"] = round(spm, 3)
+            result[f"{extra}_vs_baseline"] = round(spm / A100_BASELINE_SAMPLES_PER_MIN, 3)
+            result[f"{extra}_compile_sec"] = round(compile_x, 1)
+        except Exception as e:  # noqa: BLE001 - extra mode must not kill the headline
+            result[f"{extra}_error"] = repr(e)[:300]
     print(json.dumps(result))
 
 
@@ -272,7 +300,7 @@ def _arm_watchdog() -> None:
     that would otherwise end in the driver's own timeout with no parseable
     output at all.
     """
-    budget_s = float(os.environ.get("BENCH_WATCHDOG_SECS", 2400))
+    budget_s = float(os.environ.get("BENCH_WATCHDOG_SECS", 3300))
 
     def fire():
         _emit_error(f"bench watchdog fired after {budget_s:.0f}s (wedged backend?)")

@@ -115,7 +115,7 @@ class _QuantConvCore(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, prequant_scales: jax.Array | None = None) -> jax.Array:
-        from ..ops.quant import conv_prequant, int8_conv
+        from ..ops.quant import conv_prequant, int8_conv, matmul_pertoken_int8
 
         init = zero_init if self.zero else nn.initializers.lecun_normal()
         k = self.kernel_size
@@ -123,12 +123,18 @@ class _QuantConvCore(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         p = (k - 1) // 2
         if prequant_scales is not None:
-            # x is the (q, s_pix) handshake from a quantizing GroupNorm: the
+            # x is the (q, s_img) handshake from a quantizing GroupNorm: the
             # dequant scale + bias fuse into the conv epilogue.
             y = conv_prequant(
                 x, prequant_scales, kernel, bias, self.stride, ((p, p), (p, p))
             )
             return y.astype(x.dtype)
+        # NB: a per-token matmul path for 1x1 convs (ops.quant.
+        # matmul_pertoken_int8) was measured on v5e and LOST ~14ms of step
+        # time vs this per-tensor path (386.7 vs 372 ms) — the extra row
+        # -amax + outer-product dequant did not fuse as hoped. Kept as an
+        # exported op; not dispatched here.
+        del matmul_pertoken_int8
         y = int8_conv(x, kernel, self.stride, ((p, p), (p, p)))
         return (y + bias).astype(x.dtype)
 
@@ -182,15 +188,31 @@ class Conv(nn.Module):
 
 
 class Dense(nn.Module):
-    """Linear layer; `zero` gives the zero_module contract."""
+    """Linear layer; `zero` gives the zero_module contract.
+
+    `quant_ok=True` marks projections that may run on the int8 MXU datapath
+    under GDC_CONV_IMPL=int8 (attention qkv/proj_out — per-token scales are
+    exact for a channel contraction). The timestep-embedding MLPs keep it
+    False: they are tiny and contractually f32 (reference fp16_util converts
+    convs only).
+    """
 
     features: int
     zero: bool = False
     dtype: Dtype = jnp.float32
+    quant_ok: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.config import resolve_conv_impl
+
         init = zero_init if self.zero else nn.initializers.lecun_normal()
+        if self.quant_ok and resolve_conv_impl() == "int8":
+            from ..ops.quant import matmul_pertoken_int8
+
+            return _QuantDenseCore(
+                features=self.features, zero=self.zero, name="dense"
+            )(x)
         return nn.Dense(
             self.features,
             kernel_init=init,
@@ -198,6 +220,22 @@ class Dense(nn.Module):
             param_dtype=jnp.float32,
             name="dense",
         )(x)
+
+
+class _QuantDenseCore(nn.Module):
+    """Param-tree-compatible stand-in for nn.Dense on the int8 path."""
+
+    features: int
+    zero: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops.quant import matmul_pertoken_int8
+
+        init = zero_init if self.zero else nn.initializers.lecun_normal()
+        kernel = self.param("kernel", init, (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return matmul_pertoken_int8(x, kernel, bias)
 
 
 def silu(x: jax.Array) -> jax.Array:

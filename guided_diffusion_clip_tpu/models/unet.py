@@ -236,6 +236,10 @@ class AttentionBlock(nn.Module):
         h = x.reshape(B, H * W, C)
         hn = GroupNorm32(name="norm")(h)
         # 1x1 conv1d == Dense over the channel axis (qkv, unet.py:286).
+        # qkv/proj stay bf16 even under GDC_CONV_IMPL=int8: measured on v5e,
+        # int8 here LOST 14ms of step time — the quant/dequant ops around the
+        # Pallas attention call are fusion barriers that outweigh the small
+        # MXU win at these contraction sizes.
         qkv = Dense(3 * C, dtype=self.dtype, name="qkv")(hn)
         a = qkv_attention_dispatch(qkv, self.num_heads, new_order=self.use_new_attention_order)
         a = Dense(C, zero=True, dtype=self.dtype, name="proj_out")(a)

@@ -60,6 +60,10 @@ def set_groupnorm_impl(impl: str) -> None:
 
 def resolve_groupnorm_impl(quantize: bool = False) -> str:
     if _groupnorm_impl == "auto":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return "xla"
         return "xla" if quantize else "pallas"
     return _groupnorm_impl
 

@@ -196,3 +196,59 @@ def _conv_prequant_bwd(stride, padding, res, g):
 
 
 conv_prequant.defvjp(_conv_prequant_fwd, _conv_prequant_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 1x1 contractions (ResBlock skip convs, attention qkv/proj): a 1x1 output
+# touches exactly ONE input token, so PER-TOKEN activation scales factor out
+# of the contraction exactly — no GroupNorm handshake needed, quantization
+# is a single fusable row-amax pass over the producer's output.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def matmul_pertoken_int8(x: jax.Array, w: jax.Array, b: jax.Array):
+    """y[..., k] = sum_c x[..., c] w[c, k] + b[k] via per-token int8.
+
+    x: (..., C) f32/bf16; w: (C, K) f32; b: (K,) f32. Output in x.dtype.
+    """
+    return _matmul_pertoken_impl(x, w, b)
+
+
+def _matmul_pertoken_impl(x, w, b):
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s_tok = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / s_tok), -127, 127)
+    w_q, s_w = quantize_per_out_channel(w)
+    if _use_float_emulation():
+        acc = jnp.dot(q, w_q.astype(jnp.float32), preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.dot(
+            q.astype(jnp.int8), w_q, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    return ((acc * (s_tok * s_w)) + b).astype(x.dtype)
+
+
+def _matmul_pertoken_fwd(x, w, b):
+    return _matmul_pertoken_impl(x, w, b), (x, w)
+
+
+def _matmul_pertoken_bwd(res, g):
+    x, w = res
+
+    # Straight-through in bf16 (full-rate MXU backward).
+    def ref(x_, w_, b_):
+        return jnp.dot(x_, w_) + b_
+
+    _, vjp = jax.vjp(
+        ref,
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        jnp.zeros((w.shape[-1],), jnp.bfloat16),
+    )
+    dx, dw, db = vjp(g.astype(jnp.bfloat16))
+    return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(jnp.float32)
+
+
+matmul_pertoken_int8.defvjp(_matmul_pertoken_fwd, _matmul_pertoken_bwd)

@@ -289,3 +289,23 @@ def test_gn_conv_prequant_gradients_flow():
     assert np.isfinite(np.asarray(gq)).all() and float(jnp.max(jnp.abs(gq))) > 0
     denom = float(jnp.max(jnp.abs(gf))) + 1e-6
     assert float(jnp.max(jnp.abs(gq - gf))) / denom < 0.1
+
+
+def test_matmul_pertoken_int8_close_and_grads():
+    from guided_diffusion_clip_tpu.ops.quant import matmul_pertoken_int8
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(2, 17, 64).astype(np.float32))
+    x = x.at[0, 3].mul(50.0)  # a loud token must not hurt the others
+    w = jnp.asarray((rs.randn(64, 48) * 0.1).astype(np.float32))
+    b = jnp.asarray(rs.randn(48).astype(np.float32) * 0.1)
+
+    y_ref = jnp.dot(x, w) + b
+    y_q = matmul_pertoken_int8(x, w, b)
+    denom = float(jnp.max(jnp.abs(y_ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(y_q - y_ref))) / denom < 0.02
+
+    gq = jax.grad(lambda xx: jnp.sum(matmul_pertoken_int8(xx, w, b) ** 2))(x)
+    gf = jax.grad(lambda xx: jnp.sum((jnp.dot(xx, w) + b) ** 2))(x)
+    gd = float(jnp.max(jnp.abs(gq - gf))) / (float(jnp.max(jnp.abs(gf))) + 1e-6)
+    assert gd < 0.05, gd
