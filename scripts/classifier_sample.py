@@ -38,6 +38,9 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 
 def main():
     args = create_argparser().parse_args()
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+    set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
 
     pdist.setup_dist()
@@ -130,6 +133,8 @@ def create_argparser():
         classifier_scale=1.0,
         main_path="",
         seed=0,
+        conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
+
     )
     defaults.update(model_and_diffusion_defaults())
     defaults.update(classifier_defaults())

@@ -64,6 +64,9 @@ def load_clip_params(path: str, cfg: CLIPConfig):
 
 def main():
     args = create_argparser().parse_args()
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+    set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
 
     pdist.setup_dist()
@@ -192,6 +195,8 @@ def create_argparser():
         grad_through_pred_xstart=True,
         main_path="",
         seed=0,
+        conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
+
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

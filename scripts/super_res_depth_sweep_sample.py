@@ -38,6 +38,9 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 
 def main():
     args = create_argparser().parse_args()
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+    set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
     load_folder_path_parse(args)
     if getattr(args, "main_path", None) and getattr(args, "sub_dir_tstsave", None):
@@ -119,6 +122,8 @@ def create_argparser():
         load_file="",
         f="",
         seed=0,
+        conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
+
         denoise_start_point=-1,
     )
     defaults.update(model_and_diffusion_defaults())

@@ -59,6 +59,9 @@ def load_data_for_worker(base_samples, batch_size, class_cond):
 
 def main():
     args = create_argparser().parse_args()
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+    set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
 
     pdist.setup_dist()
@@ -133,6 +136,8 @@ def create_argparser():
         model_path="",
         main_path="",
         seed=0,
+        conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
+
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

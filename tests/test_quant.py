@@ -82,6 +82,7 @@ def test_int8_conv_zero_weights_exact_zero():
     assert float(jnp.max(jnp.abs(int8_conv(x, w)))) == 0.0
 
 
+@pytest.mark.slow
 def test_int8_conv_straight_through_gradients():
     rs = np.random.RandomState(4)
     x = jnp.asarray(rs.randn(1, 8, 8, 8).astype(np.float32))
@@ -95,6 +96,7 @@ def test_int8_conv_straight_through_gradients():
     assert float(jnp.max(jnp.abs(gq - gf))) / denom < 0.05
 
 
+@pytest.mark.slow
 def test_conv_module_param_tree_identical_and_output_close():
     import flax.linen as fnn
 
