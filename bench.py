@@ -15,7 +15,9 @@ guided denoise step at batch 4 in fp16, i.e. 250 steps -> ~2 min/batch-of-4).
 
 Env knobs: BENCH_BATCH (default 16 — measured throughput-optimal on v5e-1;
 batch 4 underutilizes the chip ~2x), BENCH_STEPS (default 250),
-BENCH_IMAGE_SIZE (default 256), BENCH_REPEATS (default 3).
+BENCH_IMAGE_SIZE (default 256), BENCH_REPEATS (default 2 — a full two-mode
+run is ~24 min through the relay; keep headroom under driver timeouts),
+BENCH_MODES (default "bf16,int8").
 """
 
 import json
@@ -112,7 +114,7 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", 16))
     steps = int(os.environ.get("BENCH_STEPS", 250))
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
-    repeats = int(os.environ.get("BENCH_REPEATS", 3))
+    repeats = int(os.environ.get("BENCH_REPEATS", 2))
 
     # ADM-G 256px published config (reference README.md:123-130 flags)
     model = create_upstream_model(

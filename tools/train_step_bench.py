@@ -1,0 +1,95 @@
+"""Measure jitted training-step throughput on the attached TPU chip.
+
+Times TrainLoop's donated-buffer train step (scan grad-accum + EMA) on the
+reference README 64px ADM config with synthetic data — the single-chip
+data point behind the v5e-16 training-config claim in BASELINE.md.
+
+Usage: python tools/train_step_bench.py
+Env: TSB_BATCH (32), TSB_MICRO (16), TSB_IMAGE_SIZE (64), TSB_REPEATS (5)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
+from guided_diffusion_clip_tpu.utils.script_util import (
+    create_gaussian_diffusion,
+    create_upstream_model,
+)
+
+
+def main():
+    B = int(os.environ.get("TSB_BATCH", 32))
+    micro = int(os.environ.get("TSB_MICRO", 16))
+    size = int(os.environ.get("TSB_IMAGE_SIZE", 64))
+    repeats = int(os.environ.get("TSB_REPEATS", 5))
+
+    # README 64px training config (reference README.md:151-156)
+    model = create_upstream_model(
+        image_size=size, num_channels=192, num_res_blocks=3, channel_mult="",
+        learn_sigma=True, class_cond=True, use_checkpoint=False,
+        attention_resolutions="32,16,8", num_heads=4, num_head_channels=64,
+        num_heads_upsample=-1, use_scale_shift_norm=True, dropout=float(os.environ.get("TSB_DROPOUT", 0.1)),
+        resblock_updown=True, use_fp16=True, use_new_attention_order=True,
+    )
+    diffusion = create_gaussian_diffusion(
+        steps=1000, learn_sigma=True, noise_schedule="cosine",
+    )
+
+    shape = (B, size, size, 3)
+    rs = np.random.RandomState(0)
+
+    def data_iter():
+        while True:
+            x = rs.randn(*shape).astype(np.float32)
+            yield x, {"y": rs.randint(0, 1000, (B,)).astype(np.int64)}
+
+    init_params = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda s: (np.random.RandomState(1).standard_normal(s.shape) * 0.02).astype(s.dtype),
+            jax.eval_shape(
+                lambda: model.init(
+                    jax.random.key(0), jnp.zeros(shape), jnp.zeros((B,)),
+                    y=jnp.zeros((B,), jnp.int32),
+                )
+            ),
+        )
+    )["params"]
+
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_iter(), batch_size=B,
+        microbatch=micro, lr=1e-4, ema_rate=0.9999, log_interval=10**9,
+        save_interval=10**9, init_params=init_params,
+    )
+
+    batch, cond = next(loop.data)
+    t0 = time.time()
+    loop.run_step(batch, cond)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(repeats):
+        batch, cond = next(loop.data)
+        t0 = time.time()
+        loop.run_step(batch, cond)
+        times.append(time.time() - t0)
+    best = min(times)
+    import json
+
+    print(json.dumps({
+        "config": f"{size}px ADM 192ch train step, batch {B} (micro {micro}), bf16",
+        "ms_per_step": round(best * 1000, 1),
+        "samples_per_sec_per_chip": round(B / best, 2),
+        "compile_sec": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
