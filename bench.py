@@ -145,10 +145,16 @@ def main():
         classifier_resblock_updown=True,
         classifier_pool="attention",
     )
+    # BENCH_RESPACING overrides the spacing string (e.g. "ddim25" with
+    # BENCH_SAMPLER=ddim for the reference fast-sampling config,
+    # README.md:164-176); default: ancestral over `steps` respaced steps.
+    respacing = os.environ.get("BENCH_RESPACING", str(steps))
+    sampler = os.environ.get("BENCH_SAMPLER", "ancestral")
     diffusion = create_gaussian_diffusion(
         steps=1000, learn_sigma=True, noise_schedule="linear",
-        timestep_respacing=str(steps),
+        timestep_respacing=respacing,
     )
+    steps = diffusion.sched.num_timesteps
 
     shape = (B, image_size, image_size, 3)
     rng = jax.random.key(0)
@@ -190,9 +196,12 @@ def main():
 
     from guided_diffusion_clip_tpu.diffusion.sampling import (
         SamplerConfig,
+        ddim_step,
         p_sample_step,
         sample_chain_segment_dyn,
     )
+
+    step_fn = ddim_step if sampler == "ddim" else p_sample_step
 
     # The chain runs as segments of <=50 steps: identical math to one scan,
     # but each device dispatch stays under remote-worker execution limits
@@ -227,7 +236,7 @@ def main():
             cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
             model_fn = model_fn_dropping_y(unet_fn, class_cond=True)
             return sample_chain_segment_dyn(
-                p_sample_step, diffusion.sched, model_fn, x, key, t_hi, seg_len,
+                step_fn, diffusion.sched, model_fn, x, key, t_hi, seg_len,
                 cfg=SamplerConfig(
                     mean_type=diffusion.mean_type, var_type=diffusion.var_type
                 ),
@@ -270,7 +279,7 @@ def main():
     )
     samples_per_min = B * 60.0 / best
     result = {
-        "metric": f"samples/min/chip ({image_size}x{image_size}, {steps}-step classifier-guided, batch {B}, {modes[0]})",
+        "metric": f"samples/min/chip ({image_size}x{image_size}, {steps}-step {sampler} classifier-guided, batch {B}, {modes[0]})",
         "value": round(samples_per_min, 3),
         "unit": "samples/min",
         "vs_baseline": round(samples_per_min / A100_BASELINE_SAMPLES_PER_MIN, 3),
