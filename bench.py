@@ -247,8 +247,12 @@ def main():
 
     classes = jnp.zeros((B,), jnp.int32)
 
-    def measure(conv_impl: str, n_repeats: int):
-        set_conv_impl(conv_impl)
+    def measure(mode: str, n_repeats: int):
+        # mode: "bf16"/"xla" | "int8" (quantized convs, bf16 STE guidance bwd).
+        # An int8 guidance BACKWARD was also tried and measured SLOWER (9.75
+        # vs 10.31 samples/min on v5e: XLA's s8 dgrad lowering + cotangent
+        # quantization overhead outweigh the MXU rate win) — not a mode.
+        set_conv_impl("int8" if mode == "int8" else "xla")
         run_segment = make_run_segment()
 
         def run_and_fetch(key):
@@ -274,9 +278,7 @@ def main():
     # the fp16 torch reference. The int8 MXU fast path (GDC_CONV_IMPL=int8,
     # quality-bounded vs bf16 by tests/test_quant.py) is reported alongside.
     modes = [m for m in os.environ.get("BENCH_MODES", "bf16,int8").split(",") if m]
-    best, compile_s = measure(
-        "xla" if modes[0] == "bf16" else modes[0], repeats
-    )
+    best, compile_s = measure(modes[0], repeats)
     samples_per_min = B * 60.0 / best
     result = {
         "metric": f"samples/min/chip ({image_size}x{image_size}, {steps}-step {sampler} classifier-guided, batch {B}, {modes[0]})",
@@ -292,8 +294,7 @@ def main():
     for extra in modes[1:]:
         try:
             best_x, compile_x = measure(
-                "int8" if extra == "int8" else extra,
-                max(1, int(os.environ.get("BENCH_EXTRA_REPEATS", 2))),
+                extra, max(1, int(os.environ.get("BENCH_EXTRA_REPEATS", 2)))
             )
             spm = B * 60.0 / best_x
             result[f"{extra}_samples_per_min"] = round(spm, 3)
