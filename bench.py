@@ -219,7 +219,7 @@ def main():
 
     import functools
 
-    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+    from guided_diffusion_clip_tpu.ops.config import int8_emit, set_conv_impl
 
     def make_run_segment():
         """Fresh jit cache: the conv impl is read at TRACE time, so each
@@ -228,7 +228,11 @@ def main():
         @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(2,))
         def run_segment(params, cparams, x, key, t_hi, seg_len, classes):
             def unet_fn(xx, t, **kw):
-                return model.apply({"params": params}, xx, t, **kw)
+                # Classifier guidance differentiates the CLASSIFIER only, so
+                # the generator emits real s8 in int8 mode (no convert pass
+                # before each s8 conv; halved quantize-write traffic).
+                with int8_emit("s8"):
+                    return model.apply({"params": params}, xx, t, **kw)
 
             def classifier_fn(xx, t):
                 return classifier.apply({"params": cparams}, xx, t)

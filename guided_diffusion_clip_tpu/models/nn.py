@@ -88,11 +88,14 @@ class GroupNorm32(nn.Module):
                 ss.reshape(x.shape[0], C).astype(jnp.float32),
                 sb.reshape(x.shape[0], C).astype(jnp.float32),
             )
+        from ..ops.config import resolve_int8_emit
+
         return group_norm(
             x, scale, bias,
             groups=groups, eps=self.epsilon,
             silu=(activation == "silu"), scale_shift=scale_shift, impl=impl,
             quantize_out=quantize,
+            emit=resolve_int8_emit() if quantize else "bf16",
         )
 
 
@@ -112,6 +115,7 @@ class _QuantConvCore(nn.Module):
     kernel_size: int
     stride: int
     zero: bool
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, prequant_scales: jax.Array | None = None) -> jax.Array:
@@ -124,11 +128,13 @@ class _QuantConvCore(nn.Module):
         p = (k - 1) // 2
         if prequant_scales is not None:
             # x is the (q, s_img) handshake from a quantizing GroupNorm: the
-            # dequant scale + bias fuse into the conv epilogue.
+            # dequant scale + bias fuse into the conv epilogue. q may be
+            # integer-valued bf16/f32 (autodiff handshake) or real s8
+            # (inference emission) — output dtype is the module compute dtype.
             y = conv_prequant(
                 x, prequant_scales, kernel, bias, self.stride, ((p, p), (p, p))
             )
-            return y.astype(x.dtype)
+            return y.astype(self.dtype)
         # NB: a per-token matmul path for 1x1 convs (ops.quant.
         # matmul_pertoken_int8) was measured on v5e and LOST ~14ms of step
         # time vs this per-tensor path (386.7 vs 372 ms) — the extra row
@@ -158,6 +164,7 @@ class Conv(nn.Module):
                 kernel_size=self.kernel_size,
                 stride=self.stride,
                 zero=self.zero,
+                dtype=self.dtype,
                 name="conv",
             )(x, prequant_scales)
         if resolve_conv_impl() == "int8":
@@ -166,6 +173,7 @@ class Conv(nn.Module):
                 kernel_size=self.kernel_size,
                 stride=self.stride,
                 zero=self.zero,
+                dtype=self.dtype,
                 name="conv",
             )(x)
         init = zero_init if self.zero else nn.initializers.lecun_normal()

@@ -172,13 +172,17 @@ class ResBlock(nn.Module):
         # int8 fast path: each GN+SiLU emits per-pixel int8 (q, s) consumed
         # directly by the following 3x3 conv on the int8 MXU datapath (2x
         # bf16 rate on v5e) with the dequant fused into the conv epilogue.
-        # Skipped around resampling (pooling quantized values would change
-        # the math) and under dropout (dropping q breaks the q*s pairing).
-        quant = (
-            resolve_conv_impl() == "int8" and not self.up and not self.down
-        )
+        # Up-blocks stay on the path too: nearest-x2 upsampling duplicates
+        # values, so upsample(q) is still exactly integer-valued in [-127,
+        # 127] with the same per-image scale. Down-blocks can't (a 2x2
+        # avgpool of int8 values leaves the int8 grid), so their in_conv
+        # stays bf16; their out_conv quantizes like any other (quant_out).
+        quant = resolve_conv_impl() == "int8" and not self.down
         if quant:
             q, s = GroupNorm32(name="in_norm")(x, activation="silu", quantize=True)
+            if self.up:
+                q = upsample_nearest_2x(q)
+                x = upsample_nearest_2x(x)
             h = Conv(out_ch, 3, dtype=self.dtype, name="in_conv")(q, prequant_scales=s)
         else:
             h = GroupNorm32(name="in_norm")(x, activation="silu")
@@ -196,7 +200,12 @@ class ResBlock(nn.Module):
         emb_out = Dense(emb_width, dtype=jnp.float32, name="emb_proj")(silu(emb))
         emb_out = emb_out.astype(h.dtype)[:, None, None, :]
 
-        quant_out = quant and (self.dropout == 0.0 or not train)
+        # out_norm -> out_conv sits after any resampling, so it quantizes in
+        # every ResBlock variant (incl. down) whenever dropout is inactive
+        # (dropping q entries would break the q*s pairing).
+        quant_out = resolve_conv_impl() == "int8" and (
+            self.dropout == 0.0 or not train
+        )
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(name="out_norm")(

@@ -80,3 +80,38 @@ def get_conv_impl() -> str:
 
 def resolve_conv_impl() -> str:
     return "xla" if _conv_impl == "auto" else _conv_impl
+
+
+# ---------------------------------------------------------------------------
+# int8 handshake emission dtype. "bf16" (default): the quantizing GroupNorm
+# emits integer-VALUED bf16 — autodiff-friendly (STE custom_vjp maps the dq
+# cotangent back through the exact GN math), required wherever gradients flow
+# through the quantized model (the guided classifier, CLIP-through-x0).
+# "s8": emit REAL int8 — halves the apply-pass write and lets XLA's s8 conv
+# consume the tensor without a separate bf16->s8 convert/transpose pass
+# (measured in the optimized HLO: the convert materializes an extra copy of
+# every conv input). Gradients do NOT flow through an s8 emission (integer
+# outputs have no tangent), so it is scoped, not global: wrap only the
+# generator's apply in sampling, never the classifier's.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+_int8_emit = "bf16"
+
+
+@contextlib.contextmanager
+def int8_emit(dtype: str):
+    """Scope the quantizing-GN emission dtype at TRACE time ("s8"|"bf16")."""
+    global _int8_emit
+    assert dtype in ("bf16", "s8"), dtype
+    prev = _int8_emit
+    _int8_emit = dtype
+    try:
+        yield
+    finally:
+        _int8_emit = prev
+
+
+def resolve_int8_emit() -> str:
+    return _int8_emit

@@ -113,7 +113,13 @@ def _pick_tile(hw: int, c: int, itemsize: int, budget_bytes: int = 2 * 1024 * 10
 
 
 def _gn_reference(x, scale, bias, groups, eps, silu, scale_shift):
-    """The XLA composite (exact reference math) — also the VJP path."""
+    """The XLA composite (exact reference math) — also the VJP path.
+
+    Variance via one-pass sums (E[x^2] - mean^2, same formulation as the
+    Pallas stats kernel): `.var()` lowers to a second reduction that depends
+    on the mean, forcing XLA into two sequential full reads of x; sibling
+    independent reduces fuse into ONE read.
+    """
     orig_dtype = x.dtype
     B = x.shape[0]
     C = x.shape[-1]
@@ -121,8 +127,13 @@ def _gn_reference(x, scale, bias, groups, eps, silu, scale_shift):
     spatial = xf.shape[1:-1]
     xg = xf.reshape(B, *spatial, groups, C // groups)
     axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    mean = xg.mean(axis=axes, keepdims=True)
-    var = xg.var(axis=axes, keepdims=True)
+    n = 1
+    for a in axes:
+        n *= xg.shape[a]
+    s1 = jnp.sum(xg, axis=axes, keepdims=True)
+    s2 = jnp.sum(xg * xg, axis=axes, keepdims=True)
+    mean = s1 / n
+    var = s2 / n - mean * mean
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     y = xg.reshape(xf.shape) * scale + bias
     if scale_shift is not None:
@@ -210,6 +221,21 @@ def fused_group_norm_quant(x, scale, bias, groups, eps, silu, scale_shift, inter
     the exact reference GN math — composing with conv_prequant's vjp this
     yields the unquantized chain's gradients.
     """
+    return _fused_gn_quant_impl(x, scale, bias, groups, eps, silu, scale_shift, interpret, x.dtype)
+
+
+def fused_group_norm_quant_s8(x, scale, bias, groups, eps, silu, scale_shift, interpret):
+    """fused_group_norm_quant emitting REAL s8 (inference-only: integer
+    outputs carry no tangent, so nothing may differentiate through this).
+
+    Halves the apply-pass HBM write and hands XLA's s8 conv its operand
+    dtype directly — the bf16 handshake otherwise pays a separate
+    convert+transpose materialization per conv input (seen in optimized HLO).
+    """
+    return _fused_gn_quant_impl(x, scale, bias, groups, eps, silu, scale_shift, interpret, jnp.int8)
+
+
+def _fused_gn_quant_impl(x, scale, bias, groups, eps, silu, scale_shift, interpret, out_dtype):
     orig_shape = x.shape
     B, C = x.shape[0], x.shape[-1]
     hw = 1
@@ -256,7 +282,7 @@ def fused_group_norm_quant(x, scale, bias, groups, eps, silu, scale_shift, inter
     grid_q = (B, hw // thw_q)
     q = pl.pallas_call(
         functools.partial(_apply_quant_kernel, silu=silu),
-        out_shape=jax.ShapeDtypeStruct((B, hw, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, hw, C), out_dtype),
         grid=grid_q,
         in_specs=[
             pl.BlockSpec((1, thw_q, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
@@ -283,13 +309,29 @@ def _gn_reference_quant(x, scale, bias, groups, eps, silu, scale_shift):
     custom_vjp'd because jnp.round has a zero gradient — the straight-through
     bwd here matches the Pallas path's exactly.
     """
+    q, s = _gn_ref_quant_math(x, scale, bias, groups, eps, silu, scale_shift)
+    return q.astype(x.dtype), s
+
+
+def gn_reference_quant_s8(x, scale, bias, groups, eps, silu, scale_shift):
+    """XLA-composite quantizing GN emitting REAL s8 (inference-only)."""
+    q, s = _gn_ref_quant_math(x, scale, bias, groups, eps, silu, scale_shift)
+    return q.astype(jnp.int8), s
+
+
+def _gn_ref_quant_math(x, scale, bias, groups, eps, silu, scale_shift):
     B, C = x.shape[0], x.shape[-1]
     xf = x.astype(jnp.float32)
     spatial = xf.shape[1:-1]
     xg = xf.reshape(B, *spatial, groups, C // groups)
     axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    mean = xg.mean(axis=axes)  # (B, G)
-    var = xg.var(axis=axes)
+    # one-pass stats (see _gn_reference): mean/E[x^2]/min/max are independent
+    # reduces of the same input -> XLA multi-output-fuses them into one read
+    n_red = 1
+    for a in axes:
+        n_red *= xg.shape[a]
+    mean = jnp.sum(xg, axis=axes) / n_red  # (B, G)
+    var = jnp.sum(xg * xg, axis=axes) / n_red - mean * mean
     inv = jax.lax.rsqrt(var + eps)
     invc = jnp.repeat(inv, C // groups, axis=1)  # (B, C)
     meanc = jnp.repeat(mean, C // groups, axis=1)
@@ -308,7 +350,7 @@ def _gn_reference_quant(x, scale, bias, groups, eps, silu, scale_shift):
     xmax = jnp.max(xf, axis=sp_axes)
     s, invs = _bound_scale(a, b, xmin, xmax, silu)
     q = jnp.clip(jnp.round(y * invs.reshape((B,) + (1,) * (y.ndim - 1))), -127, 127)
-    return q.astype(x.dtype), s
+    return q, s
 
 
 def _gn_ref_quant_fwd(x, scale, bias, groups, eps, silu, scale_shift):
@@ -383,15 +425,23 @@ def group_norm(
     scale_shift=None,
     impl: str = "auto",
     quantize_out: bool = False,
+    emit: str = "bf16",
 ):
     """Dispatching entry point: Pallas on TPU, XLA composite elsewhere.
 
     With quantize_out=True returns (q, s) — per-pixel int8-ready integers in
-    x.dtype plus f32 scales — for feeding ops.quant.conv_prequant.
+    x.dtype plus f32 scales — for feeding ops.quant.conv_prequant. With
+    emit="s8" the integers come as REAL int8 (inference-only: no tangent).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if quantize_out:
+        if emit == "s8":
+            if impl == "xla":
+                return gn_reference_quant_s8(x, scale, bias, groups, eps, silu, scale_shift)
+            return fused_group_norm_quant_s8(
+                x, scale, bias, groups, eps, silu, scale_shift, impl == "pallas_interpret"
+            )
         if impl == "xla":
             return _gn_reference_quant(x, scale, bias, groups, eps, silu, scale_shift)
         return fused_group_norm_quant(

@@ -164,7 +164,11 @@ def _conv_prequant_impl(q, s_img, w, b, stride, padding):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
-    return acc * (s_img[:, None, None, None] * s_w) + b
+    # Two rank-1 multiplies, NOT acc * (s_img * s_w): the precomputed (B, K)
+    # outer product gets materialized by XLA as a full-size (padded!) f32
+    # broadcast operand of the conv fusion (seen in optimized HLO); separate
+    # channel and batch scalings stay virtual.
+    return acc * s_w * s_img[:, None, None, None] + b
 
 
 def _conv_prequant_fwd(q, s_img, w, b, stride, padding):

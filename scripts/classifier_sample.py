@@ -38,7 +38,7 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 
 def main():
     args = create_argparser().parse_args()
-    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+    from guided_diffusion_clip_tpu.ops.config import int8_emit, set_conv_impl
 
     set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
@@ -82,7 +82,10 @@ def main():
     @jax.jit
     def run_chain(params, cparams, key, classes):
         def unet_fn(x, t, **kw):
-            return model.apply({"params": params}, x, t, **kw)
+            # guidance differentiates the classifier only: the generator may
+            # emit real s8 in int8 mode (see ops/config.int8_emit)
+            with int8_emit("s8"):
+                return model.apply({"params": params}, x, t, **kw)
 
         def classifier_fn(x, t):
             return classifier.apply({"params": cparams}, x, t)

@@ -30,6 +30,7 @@ from guided_diffusion_clip_tpu.models.clip_vit import (
     import_openai_clip_pt,
     preprocess_for_clip,
 )
+from guided_diffusion_clip_tpu.ops.config import int8_emit
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.checkpoint import (
@@ -144,11 +145,16 @@ def main():
     rng = jax.random.key(args.seed)
     for scale in scales:
         def _chain(params, vparams, key, scale=scale):
+            # grad_through_pred_xstart differentiates THROUGH the UNet, so
+            # the s8 emission (no tangent) is only safe in noisy-x mode.
+            emit = "bf16" if args.grad_through_pred_xstart else "s8"
+
             def model_fn(x, t, **kw):
                 if args.class_cond:
                     # condition on the target embedding itself (fork pathway)
                     kw = dict(kw, clip_feat=jnp.broadcast_to(target, (B, target.shape[-1])))
-                return model.apply({"params": params}, x, t, **kw)
+                with int8_emit(emit):
+                    return model.apply({"params": params}, x, t, **kw)
 
             def embed(pixels):
                 return clip_vision.apply({"params": vparams}, pixels)

@@ -16,6 +16,8 @@ honor_env_platform()
 
 import jax
 import jax.numpy as jnp
+
+from guided_diffusion_clip_tpu.ops.config import int8_emit
 import numpy as np
 
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
@@ -53,7 +55,8 @@ def main():
 
     def make_model_fn(p):
         def model_fn(x, t, **kw):
-            return model.apply({"params": p}, x, t, **kw)
+            with int8_emit("s8"):  # bpd eval: forward passes only
+                return model.apply({"params": p}, x, t, **kw)
 
         return model_fn
 

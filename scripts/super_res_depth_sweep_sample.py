@@ -38,7 +38,7 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 
 def main():
     args = create_argparser().parse_args()
-    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+    from guided_diffusion_clip_tpu.ops.config import int8_emit, set_conv_impl
 
     set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
@@ -90,7 +90,8 @@ def main():
         rng, sample_rng = jax.random.split(rng)
         def _loop(params, key, mk, init, st=st):
             def model_fn(x, t, **kw):
-                return model.apply({"params": params}, x, t, **kw)
+                with int8_emit("s8"):  # unguided: no grad through the model
+                    return model.apply({"params": params}, x, t, **kw)
 
             return diffusion.p_sample_loop(
                 model_fn, shape, key,

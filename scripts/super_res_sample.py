@@ -59,7 +59,7 @@ def load_data_for_worker(base_samples, batch_size, class_cond):
 
 def main():
     args = create_argparser().parse_args()
-    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+    from guided_diffusion_clip_tpu.ops.config import int8_emit, set_conv_impl
 
     set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
@@ -97,7 +97,8 @@ def main():
     @jax.jit
     def run_chain(params, key, model_kwargs):
         def model_fn(x, t, **kw):
-            return model.apply({"params": params}, x, t, **kw)
+            with int8_emit("s8"):  # unguided sampling never differentiates
+                return model.apply({"params": params}, x, t, **kw)
 
         return diffusion.p_sample_loop(
             model_fn, shape, key,

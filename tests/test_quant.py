@@ -311,3 +311,53 @@ def test_matmul_pertoken_int8_close_and_grads():
     gf = jax.grad(lambda xx: jnp.sum((jnp.dot(xx, w) + b) ** 2))(x)
     gd = float(jnp.max(jnp.abs(gq - gf))) / (float(jnp.max(jnp.abs(gf))) + 1e-6)
     assert gd < 0.05, gd
+
+
+def test_gn_quantize_s8_emission_matches_bf16_handshake():
+    """emit="s8" produces the same integers/scales as the bf16 handshake, as
+    real int8, on both the XLA composite and the Pallas(interpret) kernel."""
+    from guided_diffusion_clip_tpu.ops.pallas_groupnorm import group_norm
+
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(2, 8, 8, 64).astype(np.float32)) * 2.0
+    gamma = jnp.asarray(rs.rand(64).astype(np.float32) + 0.5)
+    beta = jnp.asarray(rs.randn(64).astype(np.float32) * 0.1)
+
+    for impl in ("xla", "pallas_interpret"):
+        q, s = group_norm(x, gamma, beta, groups=32, silu=True, impl=impl, quantize_out=True)
+        q8, s8 = group_norm(
+            x, gamma, beta, groups=32, silu=True, impl=impl, quantize_out=True, emit="s8"
+        )
+        assert q8.dtype == jnp.int8, impl
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s8), rtol=1e-6, err_msg=impl)
+        np.testing.assert_array_equal(
+            np.asarray(q).astype(np.int32), np.asarray(q8).astype(np.int32), err_msg=impl
+        )
+
+
+def test_unet_int8_s8_emission_matches_bf16_emission():
+    """Full UNet int8 forward is identical under s8 vs bf16 emission (the
+    emission dtype changes HBM format, never values)."""
+    from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
+    from guided_diffusion_clip_tpu.ops.config import int8_emit
+
+    cfg = UNetConfig(
+        in_channels=3, model_channels=32, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_heads=2,
+        image_size=16, resblock_updown=True, use_scale_shift_norm=True,
+    )
+    model = UNetModel(cfg)
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(2, 16, 16, 3).astype(np.float32))
+    t = jnp.asarray([3.0, 250.0])
+    set_conv_impl("int8")
+    try:
+        params = model.init(jax.random.key(0), x, t)["params"]
+        y_bf16 = model.apply({"params": params}, x, t)
+        with int8_emit("s8"):
+            y_s8 = model.apply({"params": params}, x, t)
+    finally:
+        set_conv_impl("auto")
+    np.testing.assert_allclose(
+        np.asarray(y_bf16), np.asarray(y_s8), atol=0.0, rtol=0.0
+    )

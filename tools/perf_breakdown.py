@@ -23,6 +23,7 @@ from guided_diffusion_clip_tpu.diffusion.guidance import (
     classifier_cond_fn,
     model_fn_dropping_y,
 )
+from guided_diffusion_clip_tpu.ops.config import int8_emit
 from guided_diffusion_clip_tpu.diffusion.sampling import (
     SamplerConfig,
     p_sample_step,
@@ -119,7 +120,11 @@ def main():
 
     @jax.jit
     def unet_fwd(p, x, t, y):
-        return repeat(lambda xx: model.apply({"params": p}, xx, t, y=y))(x)
+        def apply(xx):
+            with int8_emit("s8"):
+                return model.apply({"params": p}, xx, t, y=y)
+
+        return repeat(apply)(x)
 
     @jax.jit
     def cls_fwd(cp, x, t):
@@ -142,7 +147,8 @@ def main():
     @jax.jit
     def full_step(p, cp, x, ti, key, y):
         def unet_fn(xx, tt, **kw):
-            return model.apply({"params": p}, xx, tt, **kw)
+            with int8_emit("s8"):
+                return model.apply({"params": p}, xx, tt, **kw)
 
         def classifier_fn(xx, tt):
             return classifier.apply({"params": cp}, xx, tt)
