@@ -24,6 +24,11 @@ SHAPES = [
     (16, 32, 512, 512),
     (16, 16, 1024, 1024),
 ]
+if os.environ.get("PCB_SHAPES"):  # e.g. "16x256x256x256,16x128x256x256"
+    SHAPES = [
+        tuple(int(v) for v in s.split("x"))
+        for s in os.environ["PCB_SHAPES"].split(",")
+    ]
 ITERS = int(os.environ.get("CMB_ITERS", 20))
 
 
