@@ -41,12 +41,15 @@ _conv_impl = os.environ.get("GDC_CONV_IMPL", "auto")
 
 
 # ---------------------------------------------------------------------------
-# GroupNorm implementation. "auto" is path-dependent, from in-context v5e
-# measurements (tools/block_microbench.py + tools/perf_breakdown.py, round
-# 2): the plain bf16 UNet forward is faster with the Pallas kernel (340 vs
-# 374 ms), but the QUANTIZING GN is faster as an XLA composite (full int8
-# step 372 vs 434 ms) because XLA fuses the quantize chain into neighbors
-# while a pallas_call is an opaque fusion barrier.
+# GroupNorm implementation. "auto" resolves to the XLA composite everywhere
+# since the one-pass-stats rewrite (sibling sum reduces instead of
+# .mean()+.var(), 2026-08-17): in-context on v5e the composite now beats the
+# Pallas kernel for BOTH paths — bf16 UNet fwd 297 vs 340 ms, int8 step 256
+# vs (pallas-GN) 434 ms — because XLA additionally fuses the producer add /
+# consumer chain into the same passes while a pallas_call is an opaque
+# fusion barrier. (Pre-rewrite history: the two-reduce composite lost to the
+# Pallas kernel 374 vs 340 ms on the bf16 path; the kernel stays in-tree and
+# dispatchable via GDC_GROUPNORM_IMPL=pallas.)
 # ---------------------------------------------------------------------------
 
 _groupnorm_impl = os.environ.get("GDC_GROUPNORM_IMPL", "auto")
@@ -60,11 +63,7 @@ def set_groupnorm_impl(impl: str) -> None:
 
 def resolve_groupnorm_impl(quantize: bool = False) -> str:
     if _groupnorm_impl == "auto":
-        import jax
-
-        if jax.default_backend() != "tpu":
-            return "xla"
-        return "xla" if quantize else "pallas"
+        return "xla"
     return _groupnorm_impl
 
 
