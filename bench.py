@@ -38,6 +38,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_BASELINE_SAMPLES_PER_MIN = 2.5  # estimated; see module docstring
+_T0 = time.time()
 
 METRIC_NAME = "samples/min/chip (256x256, 250-step classifier-guided)"
 
@@ -96,6 +97,8 @@ def _init_backend_with_retry(retries: int = 3, timeout_s: float = 90.0):
 
 
 def main():
+    global _T0
+    _T0 = time.time()
     devices = _init_backend_with_retry()
 
     import jax
@@ -275,11 +278,17 @@ def main():
             for t_hi, t_lo in zip(bounds[:-1], bounds[1:]):
                 key = jax.random.fold_in(key, t_hi)
                 x = run_segment(params, cparams, x, key, t_hi, t_hi - t_lo, classes)
+                print(
+                    f"[bench +{time.time() - _T0:.0f}s] {mode}: segment t={t_hi}->{t_lo} dispatched",
+                    file=sys.stderr, flush=True,
+                )
             return float(jnp.sum(x))
 
+        print(f"[bench +{time.time() - _T0:.0f}s] {mode}: compile+warm start", file=sys.stderr, flush=True)
         t0 = time.time()
         run_and_fetch(jax.random.key(1))
         compile_s = time.time() - t0
+        print(f"[bench +{time.time() - _T0:.0f}s] {mode}: compile+warm done in {compile_s:.0f}s", file=sys.stderr, flush=True)
         times = []
         for i in range(n_repeats):
             t0 = time.time()
@@ -311,6 +320,16 @@ def main():
             "guidance gradient corr 0.999972 / rel-RMSE 0.8%"
         )
     for extra in modes[1:]:
+        # Extra modes are best-effort: if the headline mode ate most of the
+        # watchdog budget (relay compiles vary 8-40 min), skip rather than
+        # let the watchdog kill the process before the JSON line is printed.
+        elapsed = time.time() - _T0
+        deadline = float(os.environ.get("BENCH_EXTRA_DEADLINE_SECS", 2100))
+        if elapsed > deadline:
+            result[f"{extra}_skipped"] = (
+                f"headline mode used {elapsed:.0f}s of the watchdog budget"
+            )
+            continue
         try:
             best_x, compile_x = measure(
                 extra, max(1, int(os.environ.get("BENCH_EXTRA_REPEATS", 2)))
