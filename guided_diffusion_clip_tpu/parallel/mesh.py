@@ -72,3 +72,68 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# ---------------------------------------------------------------------------
+# FSDP (ZeRO-3-style) parameter/optimizer sharding
+# ---------------------------------------------------------------------------
+#
+# The reference has no analog (its DDP replicates the full model per GPU,
+# train_util.py:98-105); at the v5e-16 training target the ADM-512 model +
+# Adam moments exceed a 16GB chip replicated, so we expose the idiomatic JAX
+# form of ZeRO-3: every parameter (and its Adam moments / EMA copies) is
+# sharded along one axis over the 'data' mesh axis, and XLA's SPMD partitioner
+# inserts the all-gathers (forward/backward) and reduce-scatters (gradients)
+# automatically. No explicit collectives anywhere — the train step body is
+# identical to the replicated path.
+
+# Leaves smaller than this stay replicated: sharding a 512-float bias saves
+# nothing and adds collective latency.
+_FSDP_MIN_ELEMENTS = 16384
+
+
+def fsdp_spec(shape: tuple, axis_size: int, axis_name: str = "data") -> P:
+    """PartitionSpec for one leaf: shard the largest dimension divisible by
+    the mesh axis; replicate if none qualifies or the leaf is small.
+
+    Deterministic on shape alone, so a param and its Adam mu/nu and EMA
+    copies (identical shapes) always agree.
+    """
+    if int(np.prod(shape or (1,))) < _FSDP_MIN_ELEMENTS:
+        return P()
+    best = None
+    for i, d in enumerate(shape):
+        if d % axis_size == 0 and (best is None or d > shape[best]):
+            best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis_name
+    return P(*spec)
+
+
+def fsdp_sharding_tree(mesh: Mesh, tree, axis_name: str = "data"):
+    """Pytree of NamedSharding mirroring `tree` under the FSDP policy."""
+    axis_size = mesh.shape[axis_name]
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, fsdp_spec(jnp_shape(x), axis_size, axis_name)),
+        tree,
+    )
+
+
+def jnp_shape(x) -> tuple:
+    shape = getattr(x, "shape", None)
+    return tuple(shape) if shape is not None else ()
+
+
+def shard_tree(tree, sharding_tree):
+    """Place a pytree according to a matching pytree of shardings."""
+    return jax.tree_util.tree_map(jax.device_put, tree, sharding_tree)
+
+
+def constrain_tree(tree, sharding_tree):
+    """with_sharding_constraint over a pytree (pins layouts inside jit so the
+    partitioner reduce-scatters grads / keeps state sharded across steps)."""
+    return jax.tree_util.tree_map(
+        jax.lax.with_sharding_constraint, tree, sharding_tree
+    )

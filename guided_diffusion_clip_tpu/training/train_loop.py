@@ -32,7 +32,14 @@ import optax
 
 from ..diffusion.api import Diffusion
 from ..parallel import dist as pdist
-from ..parallel.mesh import create_data_mesh, replicate, shard_batch
+from ..parallel.mesh import (
+    constrain_tree,
+    create_data_mesh,
+    fsdp_sharding_tree,
+    replicate,
+    shard_batch,
+    shard_tree,
+)
 from ..training.resample import LossAwareSampler, ScheduleSampler, UniformSampler
 from ..utils import checkpoint as ckpt
 from ..utils import logger
@@ -74,6 +81,7 @@ class TrainLoop:
         init_params=None,
         profile_dir: str = "",
         profile_steps: int = 3,
+        param_sharding: str = "replicated",
     ):
         self.model = model
         self.diffusion = diffusion
@@ -103,6 +111,8 @@ class TrainLoop:
         self.resume_step = 0
         self.global_batch = self.batch_size * max(1, jax.process_count())
         self.mesh = mesh if mesh is not None else create_data_mesh(self.batch_size)
+        assert param_sharding in ("replicated", "fsdp"), param_sharding
+        self.param_sharding = param_sharding
         self.np_rng = np.random.default_rng(seed + jax.process_index())
         self.rng = jax.random.key(seed)
 
@@ -159,9 +169,24 @@ class TrainLoop:
             self.opt_state = ckpt.load_flax(opt_path, self.opt_state)
 
     def _place_state(self):
-        self.params = replicate(self.mesh, self.params)
-        self.opt_state = replicate(self.mesh, self.opt_state)
-        self.ema_params = [replicate(self.mesh, e) for e in self.ema_params]
+        if self.param_sharding == "fsdp":
+            # ZeRO-3-style: params + Adam moments + every EMA copy sharded
+            # over 'data'; XLA all-gathers params for compute and
+            # reduce-scatters grads. Single-host save/restore still works:
+            # checkpoint IO gathers through fully-addressable arrays.
+            self._param_shd = fsdp_sharding_tree(self.mesh, self.params)
+            self._opt_shd = fsdp_sharding_tree(self.mesh, self.opt_state)
+            self._ema_shd = [fsdp_sharding_tree(self.mesh, e) for e in self.ema_params]
+            self.params = shard_tree(self.params, self._param_shd)
+            self.opt_state = shard_tree(self.opt_state, self._opt_shd)
+            self.ema_params = [
+                shard_tree(e, s) for e, s in zip(self.ema_params, self._ema_shd)
+            ]
+        else:
+            self._param_shd = self._opt_shd = self._ema_shd = None
+            self.params = replicate(self.mesh, self.params)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+            self.ema_params = [replicate(self.mesh, e) for e in self.ema_params]
 
     # ------------------------------------------------------------- train step
     def _make_train_step(self):
@@ -171,6 +196,7 @@ class TrainLoop:
         ema_rates = tuple(self.ema_rate)
         n_micro = self.n_micro
         micro = self.microbatch
+        param_shd, opt_shd, ema_shd = self._param_shd, self._opt_shd, self._ema_shd
 
         def loss_of_microbatch(params, x, cond, t, weights, rng):
             dropout_rng, noise_rng = jax.random.split(rng)
@@ -200,10 +226,16 @@ class TrainLoop:
                 (x, c, tt, w), r = inp
                 (loss, terms), grads = grad_fn(params, x, c, tt, w, r)
                 acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+                if param_shd is not None:
+                    # reduce-scatter each microbatch's grads immediately so
+                    # the scan carry stays 1/N-sized per device (ZeRO-2 grads)
+                    acc = constrain_tree(acc, param_shd)
                 return acc, (loss, terms["loss"], terms.get("mse", terms["loss"]),
                              terms.get("vb", jnp.zeros_like(terms["loss"])))
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            if param_shd is not None:
+                zero_grads = constrain_tree(zero_grads, param_shd)
             grads, (losses, loss_vec, mse_vec, vb_vec) = jax.lax.scan(
                 scan_body, zero_grads, ((mb[0], mb[1], mb[2], mb[3]), rngs)
             )
@@ -216,6 +248,15 @@ class TrainLoop:
                 optax.incremental_update(params, e, step_size=1.0 - rate)
                 for e, rate in zip(ema_params, ema_rates)
             )
+            if param_shd is not None:
+                # pin outputs to the FSDP layout: the optimizer + EMA update
+                # runs fully sharded and state round-trips step-to-step
+                # without resharding (donation reuses the input buffers)
+                params = constrain_tree(params, param_shd)
+                opt_state = constrain_tree(opt_state, opt_shd)
+                ema_params = tuple(
+                    constrain_tree(e, s) for e, s in zip(ema_params, ema_shd)
+                )
             metrics = dict(
                 loss=jnp.mean(losses),
                 grad_norm=grad_norm,

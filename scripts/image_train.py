@@ -101,6 +101,7 @@ def main():
         val_datasets=val_datasets or None,
         val_batch_size=args.val_batch_size,
         profile_dir=args.profile_dir,
+        param_sharding=args.param_sharding,
     ).run_loop()
 
 
@@ -112,6 +113,7 @@ def create_argparser():
         clip_file_path_test="",
         main_path="",
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here
+        param_sharding="replicated",  # "fsdp" shards params/opt/EMA over the data axis
         schedule_sampler="uniform",
         lr=1e-4,
         weight_decay=0.0,

@@ -105,6 +105,7 @@ def main():
         lr_anneal_steps=args.lr_anneal_steps,
         val_datasets=val_datasets or None,
         val_batch_size=args.val_batch_size,
+        param_sharding=args.param_sharding,
     ).run_loop()
 
 
@@ -127,6 +128,7 @@ def create_argparser():
         resume_checkpoint="",
         use_fp16=False,
         fp16_scale_growth=1e-3,
+        param_sharding="replicated",
         # fork extras (super_res_unsup.py:148-149)
         SR_mode=True,
         resume_ema_opt=False,
