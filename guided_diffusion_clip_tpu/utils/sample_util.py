@@ -11,6 +11,26 @@ from __future__ import annotations
 import numpy as np
 
 
+def overlap_device_host(dispatched, process):
+    """Pipeline host IO behind device compute, one batch deep.
+
+    `dispatched` yields items whose device arrays have just been dispatched
+    asynchronously (NOT synced); `process(item)` does the host-side work
+    (np.asarray sync, uint8 convert, PNG/npz writes, host all-gather). Each
+    batch's host work overlaps the NEXT batch's on-device chain — JAX's async
+    dispatch queues the next chain before the previous result is fetched.
+    The reference loop (image_sample.py:96-118) serializes these; on TPU the
+    PNG/gather time would otherwise be dead device time between chains.
+    """
+    prev = _SENTINEL = object()
+    for item in dispatched:
+        if prev is not _SENTINEL:
+            process(prev)
+        prev = item
+    if prev is not _SENTINEL:
+        process(prev)
+
+
 def add_delta_imgimg(kwargs: dict) -> dict:
     """Stage the kwargs dict for the delta-conditioned SR model.
 

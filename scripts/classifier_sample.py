@@ -22,6 +22,7 @@ import numpy as np
 from guided_diffusion_clip_tpu.diffusion.guidance import classifier_cond_fn, model_fn_dropping_y
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.sample_util import overlap_device_host
 from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
 from guided_diffusion_clip_tpu.utils.script_util import (
     NUM_CLASSES,
@@ -102,17 +103,27 @@ def main():
     logger.log("sampling...")
     rng = jax.random.key(args.seed)
     all_images, all_labels = [], []
-    while len(all_images) * B < args.num_samples:
-        rng, class_rng, sample_rng = jax.random.split(rng, 3)
-        # Fix-forward: the fork sets NUM_CLASSES=512 (CLIP dim), which would
-        # wrongly restrict upstream ImageNet guidance to 512 classes; the
-        # classifier/label table have 1000 (script_util.py:261).
-        classes = jax.random.randint(class_rng, (B,), 0, 1000, dtype=jnp.int32)
-        sample = run_chain(params, cparams, sample_rng, classes)
+    n_batches = -(-args.num_samples // B)
+
+    def dispatched():
+        nonlocal rng
+        for _ in range(n_batches):
+            rng, class_rng, sample_rng = jax.random.split(rng, 3)
+            # Fix-forward: the fork sets NUM_CLASSES=512 (CLIP dim), which
+            # would wrongly restrict upstream ImageNet guidance to 512
+            # classes; the classifier/label table have 1000 (script_util.py:261).
+            classes = jax.random.randint(class_rng, (B,), 0, 1000, dtype=jnp.int32)
+            yield classes, run_chain(params, cparams, sample_rng, classes)
+
+    def gather_batch(item):
+        classes, sample = item
         sample_u8 = ((np.asarray(sample) + 1) * 127.5).clip(0, 255).astype(np.uint8)
         all_images.extend(list(pdist.all_gather_host(sample_u8)))
         all_labels.extend(list(pdist.all_gather_host(np.asarray(classes))))
         logger.log(f"created {len(all_images) * B} samples")
+
+    # host uint8/gather work for batch k overlaps batch k+1's device chain
+    overlap_device_host(dispatched(), gather_batch)
 
     arr = np.concatenate(all_images, axis=0)[: args.num_samples]
     label_arr = np.concatenate(all_labels, axis=0)[: args.num_samples]

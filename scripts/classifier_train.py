@@ -23,7 +23,14 @@ import optax
 
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
 from guided_diffusion_clip_tpu.parallel import dist as pdist
-from guided_diffusion_clip_tpu.parallel.mesh import create_data_mesh, replicate, shard_batch
+from guided_diffusion_clip_tpu.parallel.mesh import (
+    constrain_tree,
+    create_data_mesh,
+    fsdp_sharding_tree,
+    replicate,
+    shard_batch,
+    shard_tree,
+)
 from guided_diffusion_clip_tpu.training.resample import create_named_schedule_sampler
 from guided_diffusion_clip_tpu.training.train_loop import get_blob_logdir
 from guided_diffusion_clip_tpu.utils import checkpoint as ckpt
@@ -100,8 +107,15 @@ def main():
         schedule = args.lr
     opt = optax.adamw(learning_rate=schedule, weight_decay=args.weight_decay)
     opt_state = opt.init(params)
-    params = replicate(mesh, params)
-    opt_state = replicate(mesh, opt_state)
+    if args.param_sharding == "fsdp":
+        param_shd = fsdp_sharding_tree(mesh, params)
+        opt_shd = fsdp_sharding_tree(mesh, opt_state)
+        params = shard_tree(params, param_shd)
+        opt_state = shard_tree(opt_state, opt_shd)
+    else:
+        param_shd = opt_shd = None
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
 
     micro = args.microbatch if args.microbatch > 0 else B
     n_micro = B // micro
@@ -127,12 +141,20 @@ def main():
         def body(acc, inp):
             x, y, tt, r = inp
             (loss, (ce, logits)), grads = jax.value_and_grad(loss_of_microbatch, has_aux=True)(p, x, y, tt, r)
-            return jax.tree_util.tree_map(jnp.add, acc, grads), (ce, logits)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            if param_shd is not None:
+                acc = constrain_tree(acc, param_shd)  # reduce-scattered grads
+            return acc, (ce, logits)
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, p)
+        if param_shd is not None:
+            zero = constrain_tree(zero, param_shd)
         grads, (ces, logits) = jax.lax.scan(body, zero, (xs, ys, ts, rngs))
         updates, o = opt.update(grads, o, p)
         p = optax.apply_updates(p, updates)
+        if param_shd is not None:
+            p = constrain_tree(p, param_shd)
+            o = constrain_tree(o, opt_shd)
         return p, o, ces.reshape(-1), logits.reshape((B,) + logits.shape[2:])
 
     train_step = jax.jit(train_step, donate_argnums=(0, 1))
@@ -210,6 +232,7 @@ def create_argparser():
         log_interval=10,
         eval_interval=5,
         save_interval=10000,
+        param_sharding="replicated",  # "fsdp" shards params/opt over the data axis
     )
     defaults.update(classifier_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -24,7 +24,10 @@ from guided_diffusion_clip_tpu.data.image_datasets import load_data
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
-from guided_diffusion_clip_tpu.utils.sample_util import add_delta_imgimg
+from guided_diffusion_clip_tpu.utils.sample_util import (
+    add_delta_imgimg,
+    overlap_device_host,
+)
 from guided_diffusion_clip_tpu.utils.saving_imgs import save_img, tensor2img
 from guided_diffusion_clip_tpu.utils.script_util import (
     add_dict_to_argparser,
@@ -115,29 +118,38 @@ def main():
 
     logger.log("sampling...")
     all_images = []
-    counter = 0
-    while len(all_images) * args.batch_size < args.num_samples:
-        imgs, kwargs = next(data)
-        kwargs = add_delta_imgimg(kwargs)
-        model_kwargs = {k: jnp.asarray(v) for k, v in kwargs.items()}
-        init_image = model_kwargs.get("img2") if dsp != -1 else None
+    n_batches = -(-args.num_samples // args.batch_size)
 
-        rng, sample_rng = jax.random.split(rng)
-        prof.maybe_start(counter)
-        with prof.step_scope(counter), annotate("sample_chain"):
-            sample = run_chain(params, sample_rng, model_kwargs, init_image)
-            sample.block_until_ready()
-        prof.maybe_stop(counter)
-        sample_np = np.asarray(sample)
+    def dispatched():
+        nonlocal rng
+        for counter in range(n_batches):
+            imgs, kwargs = next(data)
+            kwargs = add_delta_imgimg(kwargs)
+            model_kwargs = {k: jnp.asarray(v) for k, v in kwargs.items()}
+            init_image = model_kwargs.get("img2") if dsp != -1 else None
+
+            rng, sample_rng = jax.random.split(rng)
+            prof.maybe_start(counter)
+            with prof.step_scope(counter), annotate("sample_chain"):
+                sample = run_chain(params, sample_rng, model_kwargs, init_image)
+                if prof.profile_dir:
+                    sample.block_until_ready()  # bound the captured trace
+            prof.maybe_stop(counter)
+            yield counter, imgs, sample
+
+    def write_batch(item):
+        counter, imgs, sample = item
+        sample_np = np.asarray(sample)  # syncs this batch only
         sample_u8 = ((sample_np + 1) * 127.5).clip(0, 255).astype(np.uint8)
 
         save_img(tensor2img(sample_np), os.path.join(logger.get_dir(), f"samples_test{counter}.png"))
         save_img(tensor2img(np.asarray(imgs)), os.path.join(logger.get_dir(), f"target_{counter}.png"))
-        counter += 1
 
         gathered = pdist.all_gather_host(sample_u8)
         all_images.extend(list(gathered))
         logger.log(f"created {len(all_images) * args.batch_size} samples")
+
+    overlap_device_host(dispatched(), write_batch)
 
     arr = np.concatenate(all_images, axis=0)[: args.num_samples]
     if pdist.is_primary():

@@ -21,6 +21,7 @@ import numpy as np
 
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.sample_util import overlap_device_host
 from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
 from guided_diffusion_clip_tpu.utils.script_util import (
     add_dict_to_argparser,
@@ -109,13 +110,22 @@ def main():
     logger.log("creating samples...")
     rng = jax.random.key(args.seed)
     all_images = []
-    while len(all_images) * B < args.num_samples:
-        model_kwargs = {k: jnp.asarray(v) for k, v in next(data).items()}
-        rng, sample_rng = jax.random.split(rng)
-        sample = run_chain(params, sample_rng, model_kwargs)
+    n_batches = -(-args.num_samples // B)
+
+    def dispatched():
+        nonlocal rng
+        for _ in range(n_batches):
+            model_kwargs = {k: jnp.asarray(v) for k, v in next(data).items()}
+            rng, sample_rng = jax.random.split(rng)
+            yield run_chain(params, sample_rng, model_kwargs)
+
+    def gather_batch(sample):
         sample_u8 = ((np.asarray(sample) + 1) * 127.5).clip(0, 255).astype(np.uint8)
         all_images.extend(list(pdist.all_gather_host(sample_u8)))
         logger.log(f"created {len(all_images) * B} samples")
+
+    # host uint8/gather work for batch k overlaps batch k+1's device chain
+    overlap_device_host(dispatched(), gather_batch)
 
     arr = np.concatenate(all_images, axis=0)[: args.num_samples]
     if pdist.is_primary():
