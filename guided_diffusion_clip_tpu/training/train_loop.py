@@ -285,14 +285,17 @@ class TrainLoop:
                         self.run_step(batch, cond)
                 prof.maybe_stop(self.step)
                 if self.step % self.log_interval == 0:
+                    self.flush_metrics()  # include this step in the dump
                     logger.dumpkvs()
                 if self.step % self.save_interval == 0 and self.step > 0:
+                    self.flush_metrics()
                     with logger.profile_kv("val"), annotate("val_sample"):
                         self.save()
                         self.val_sample()
                     if os.environ.get("DIFFUSION_TRAINING_TEST", "") and self.step > 0:
                         return
                 self.step += 1
+            self.flush_metrics()
             if (self.step - 1) % self.save_interval != 0:
                 self.save()
         finally:
@@ -313,15 +316,37 @@ class TrainLoop:
         self.ema_params = list(self.ema_params)
 
         if isinstance(self.schedule_sampler, LossAwareSampler):
-            self.schedule_sampler.update_with_local_losses(t_np, np.asarray(metrics["loss_vec"]))
+            # the sampler needs this step's losses before drawing the next
+            # step's t (reference train_util.py:190): stay synchronous, but
+            # still fetch all metrics in ONE device round trip
+            self.flush_metrics()
+            metrics = jax.device_get(metrics)
+            self.schedule_sampler.update_with_local_losses(
+                t_np, np.asarray(metrics["loss_vec"])
+            )
+            self._log_step_metrics(t_np, metrics)
+        else:
+            # Deferred logging: fetch the PREVIOUS step's metrics now, while
+            # THIS step runs on device. The fetch of one ready metrics tuple
+            # is a single round trip; the old synchronous per-scalar fetches
+            # serialized ~6 device round trips into every step (measured
+            # 484 -> ~300 ms/step on a v5e through a remote relay).
+            self.flush_metrics()
+            self._pending_log = (self.step + self.resume_step, t_np, metrics)
 
-        self._log_step_metrics(t_np, metrics)
+    def flush_metrics(self):
+        """Log the deferred previous step's metrics (one batched device_get)."""
+        pending = getattr(self, "_pending_log", None)
+        if pending is None:
+            return
+        self._pending_log = None
+        step, t_np, metrics = pending
+        self._log_step_metrics(t_np, jax.device_get(metrics), step=step)
 
-    def _log_step_metrics(self, t_np, metrics):
-        logger.logkv("step", self.step + self.resume_step)
-        logger.logkv(
-            "samples", (self.step + self.resume_step + 1) * self.global_batch
-        )
+    def _log_step_metrics(self, t_np, metrics, step=None):
+        step = self.step + self.resume_step if step is None else step
+        logger.logkv("step", step)
+        logger.logkv("samples", (step + 1) * self.global_batch)
         logger.logkv_mean("loss", float(metrics["loss"]))
         logger.logkv_mean("grad_norm", float(metrics["grad_norm"]))
         logger.logkv_mean("param_norm", float(metrics["param_norm"]))

@@ -116,6 +116,48 @@ class TestDPMatchesSingleDevice:
             np.testing.assert_allclose(vA, vB, rtol=1e-6)
 
 
+class TestDeferredMetricLogging:
+    """run_step defers the metrics fetch one step (one batched device_get
+    while the next step runs on device); flush_metrics drains it with the
+    step number it belonged to."""
+
+    def test_flush_logs_previous_step(self):
+        from guided_diffusion_clip_tpu.utils import logger
+
+        mesh = create_mesh()
+        loop = make_loop(mesh, batch_size=8)
+        b, c = next(data_gen(8, seed=3))
+        loop.run_step(b, c)
+        assert loop._pending_log is not None
+        assert "loss" not in logger.getkvs()  # not fetched yet
+
+        loop.step += 1
+        b, c = next(data_gen(8, seed=4))
+        loop.run_step(b, c)  # flushes step 0, defers step 1
+        kvs = dict(logger.getkvs())
+        assert kvs["step"] == 0 and kvs["loss"] != 0.0
+        loop.flush_metrics()
+        assert dict(logger.getkvs())["step"] == 1
+        assert loop._pending_log is None
+        loop.flush_metrics()  # idempotent when drained
+
+    def test_loss_aware_sampler_stays_synchronous(self):
+        from guided_diffusion_clip_tpu.training.resample import (
+            LossSecondMomentResampler,
+        )
+
+        mesh = create_mesh()
+        loop = make_loop(mesh, batch_size=8)
+        loop.schedule_sampler = LossSecondMomentResampler(
+            loop.diffusion.num_timesteps, history_per_term=2
+        )
+        b, c = next(data_gen(8, seed=5))
+        loop.run_step(b, c)
+        # losses reached the sampler history and the log in the same step
+        assert loop.schedule_sampler._loss_counts.sum() > 0
+        assert getattr(loop, "_pending_log", None) is None
+
+
 class TestLossAwareSampler:
     def test_second_moment_resampler_warms_up(self):
         from guided_diffusion_clip_tpu.training.resample import LossSecondMomentResampler
