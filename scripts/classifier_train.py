@@ -165,6 +165,23 @@ def main():
     logger.log(f"training classifier for {args.iterations} iterations...")
     rng = jax.random.key(0)
     np_rng = np.random.default_rng(jax.process_index())
+
+    # Deferred metric logging (same scheme as TrainLoop.flush_metrics): fetch
+    # step k's (ces, logits) in one device_get while step k+1 runs on device,
+    # instead of serializing three scalar/array reads into every step.
+    pending = None
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        labels_p, ces_p, logits_p = pending
+        pending = None
+        ces_np, logits_np = jax.device_get((ces_p, logits_p))
+        logger.logkv_mean("loss", float(ces_np.mean()))
+        logger.logkv_mean("acc@1", compute_top_k(logits_np, labels_p, 1))
+        logger.logkv_mean("acc@5", compute_top_k(logits_np, labels_p, 5))
+
     for step in range(args.iterations - resume_step):
         cur = step + resume_step
         logger.logkv("step", cur)
@@ -180,9 +197,8 @@ def main():
         y = shard_batch(mesh, jnp.asarray(labels))
         t = shard_batch(mesh, jnp.asarray(t_np))
         params, opt_state, ces, logits = train_step(params, opt_state, b, y, t, step_rng)
-        logger.logkv_mean("loss", float(np.asarray(ces).mean()))
-        logger.logkv_mean("acc@1", compute_top_k(logits, labels, 1))
-        logger.logkv_mean("acc@5", compute_top_k(logits, labels, 5))
+        flush_pending()
+        pending = (labels, ces, logits)
 
         if val_data is not None and not cur % args.eval_interval:
             vb, vcond = next(val_data)
@@ -196,6 +212,7 @@ def main():
             logger.logkv_mean("val_acc@5", compute_top_k(vlogits, vcond["y"], 5))
 
         if not cur % args.log_interval:
+            flush_pending()  # include this step in the dump
             logger.dumpkvs()
         if cur and pdist.is_primary() and not (cur + 1) % args.save_interval:
             logger.log("saving model...")
@@ -203,6 +220,7 @@ def main():
             if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                 break
 
+    flush_pending()
     if pdist.is_primary():
         logger.log("saving final model...")
         save_model(params, opt_state, args.iterations - 1)
