@@ -116,6 +116,7 @@ class TestDPMatchesSingleDevice:
             np.testing.assert_allclose(vA, vB, rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestDeferredMetricLogging:
     """run_step defers the metrics fetch one step (one batched device_get
     while the next step runs on device); flush_metrics drains it with the
