@@ -5,6 +5,7 @@ The TPU analog of the reference's DIFFUSION_TRAINING_TEST escape hatch
 as subprocesses on the virtual CPU mesh.
 """
 
+import csv
 import glob
 import os
 import subprocess
@@ -113,6 +114,39 @@ class TestTrainSampleRoundTrip:
         assert pngs and npzs
         arr = np.load(npzs[0])["arr_0"]
         assert arr.shape == (8, 16, 16, 3) and arr.dtype == np.uint8
+
+    def test_image_train_fsdp_smoke(self, dataset, tmp_path):
+        """--param_sharding fsdp end to end: sharded train step + ckpt save
+        (gathers sharded state) through the real CLI on the 8-device mesh."""
+        img_dir, clip_path, _ = dataset
+        run_dir = str(tmp_path / "fsdp_run")
+        os.makedirs(run_dir)
+        run_script(
+            "image_train.py",
+            [
+                *TINY_FLAGS,
+                "--data_dir", img_dir,
+                "--clip_file_path", clip_path,
+                "--class_cond", "True",
+                "--batch_size", "8",
+                "--microbatch", "4",
+                "--save_interval", "2",
+                "--log_interval", "1",
+                "--val_batch_size", "4",
+                "--param_sharding", "fsdp",
+            ],
+            env_extra={
+                "DIFFUSION_TRAINING_TEST": "1",
+                "OPENAI_LOGDIR": run_dir,
+                "OPENAI_LOG_FORMAT": "log,csv",
+            },
+        )
+        assert glob.glob(os.path.join(run_dir, "model*.flax"))
+        assert glob.glob(os.path.join(run_dir, "opt*.flax"))
+        # deferred metric logging reached the csv with real values
+        with open(os.path.join(run_dir, "progress.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert rows and float(rows[0]["loss"]) > 0
 
     def test_classifier_train_smoke(self, dataset, tmp_path):
         img_dir, _, _ = dataset
