@@ -14,7 +14,11 @@ fp16_util.py. TPU-native mapping (SURVEY.md §2.1):
   - checkpoint naming + resume-step parsing preserved (train_util.py:243-267).
   - DIFFUSION_TRAINING_TEST env var stops after the first save interval
     (train_util.py:174-177).
-  - per-quartile loss logging (train_util.py:381-387).
+  - per-quartile loss logging (train_util.py:381-387), with the metrics
+    fetch DEFERRED one step (one batched device_get while the next step runs
+    on device — synchronous per-scalar reads serialized ~6 round trips into
+    every step, measured 484 vs 275 ms/step through a remote-attached v5e);
+    `flush_metrics` drains before dumps/saves so logged values are unchanged.
   - in-training validation sampling with PNG grids + npz (train_util.py:269-341),
     fix-forward: val_datasets optional, use_ddim honored from an explicit arg.
 """
