@@ -40,6 +40,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_BASELINE_SAMPLES_PER_MIN = 2.5  # estimated; see module docstring
 _T0 = time.time()
 
+# Best result computed so far: if the watchdog fires mid-run (e.g. a relay
+# death during a best-effort extra section), it prints THIS instead of a bare
+# error so a good headline measurement is never thrown away.
+_BEST_RESULT: dict | None = None
+
 METRIC_NAME = "samples/min/chip (256x256, 250-step classifier-guided)"
 
 
@@ -319,6 +324,8 @@ def main():
             "UNet output corr 0.99975 / rel-RMSE 2.2% of signal std; "
             "guidance gradient corr 0.999972 / rel-RMSE 0.8%"
         )
+    global _BEST_RESULT
+    _BEST_RESULT = dict(result)
     for extra in modes[1:]:
         # Extra modes are best-effort: if the headline mode ate most of the
         # watchdog budget (relay compiles vary 8-40 min), skip rather than
@@ -340,7 +347,107 @@ def main():
             result[f"{extra}_compile_sec"] = round(compile_x, 1)
         except Exception as e:  # noqa: BLE001 - extra mode must not kill the headline
             result[f"{extra}_error"] = repr(e)[:300]
+        _BEST_RESULT = dict(result)
+
+    # Best-effort training datapoint (64px README config, tools/
+    # train_step_bench.py semantics) under the same deadline discipline.
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        elapsed = time.time() - _T0
+        deadline = float(os.environ.get("BENCH_EXTRA_DEADLINE_SECS", 2100))
+        if elapsed > deadline:
+            result["train_skipped"] = f"sampling used {elapsed:.0f}s of the budget"
+        else:
+            try:
+                result.update(_measure_train_step())
+            except Exception as e:  # noqa: BLE001 - must not kill the headline
+                result["train_error"] = repr(e)[:300]
+        _BEST_RESULT = dict(result)
     print(json.dumps(result))
+
+
+def _measure_train_step():
+    """Sustained train-step rate, 64px README ADM config (BASELINE.md's
+    'training config' datapoint). Same harness as tools/train_step_bench.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+    from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
+    from guided_diffusion_clip_tpu.utils import logger
+    from guided_diffusion_clip_tpu.utils.script_util import (
+        create_gaussian_diffusion,
+        create_upstream_model,
+    )
+
+    set_conv_impl("xla")  # training is bf16 (int8 training is not a mode)
+    if logger.Logger.CURRENT is None:
+        # silent logger: stdout must stay ONE JSON line
+        logger.configure_dir(dir="/tmp/bench_train", format_strs=[])
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", 32))
+    micro = int(os.environ.get("BENCH_TRAIN_MICRO", 16))
+    size = int(os.environ.get("BENCH_TRAIN_IMAGE_SIZE", 64))
+    model = create_upstream_model(
+        image_size=size, num_channels=192, num_res_blocks=3, channel_mult="",
+        learn_sigma=True, class_cond=True, use_checkpoint=False,
+        attention_resolutions="32,16,8", num_heads=4, num_head_channels=64,
+        num_heads_upsample=-1, use_scale_shift_norm=True, dropout=0.1,
+        resblock_updown=True, use_fp16=True, use_new_attention_order=True,
+    )
+    diffusion = create_gaussian_diffusion(
+        steps=1000, learn_sigma=True, noise_schedule="cosine"
+    )
+    shape = (B, size, size, 3)
+    rs = np.random.RandomState(0)
+
+    def data_iter():
+        while True:
+            yield (
+                rs.randn(*shape).astype(np.float32),
+                {"y": rs.randint(0, 1000, (B,)).astype(np.int64)},
+            )
+
+    init_params = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda s: (np.random.RandomState(1).standard_normal(s.shape) * 0.02).astype(s.dtype),
+            jax.eval_shape(
+                lambda: model.init(
+                    jax.random.key(0), jnp.zeros(shape), jnp.zeros((B,)),
+                    y=jnp.zeros((B,), jnp.int32),
+                )
+            ),
+        )
+    )["params"]
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_iter(), batch_size=B,
+        microbatch=micro, lr=1e-4, ema_rate=0.9999, log_interval=10**9,
+        save_interval=10**9, init_params=init_params,
+    )
+    print(f"[bench +{time.time() - _T0:.0f}s] train: compile start", file=sys.stderr, flush=True)
+    batch, cond = next(loop.data)
+    t0 = time.time()
+    loop.run_step(batch, cond)
+    loop.flush_metrics()
+    compile_s = time.time() - t0
+    print(f"[bench +{time.time() - _T0:.0f}s] train: compile done in {compile_s:.0f}s", file=sys.stderr, flush=True)
+    window = int(os.environ.get("BENCH_TRAIN_WINDOW", 10))
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        for _ in range(window):
+            batch, cond = next(loop.data)
+            loop.run_step(batch, cond)
+            loop.step += 1
+        loop.flush_metrics()
+        jax.block_until_ready(jax.tree_util.tree_leaves(loop.params)[0])
+        times.append((time.time() - t0) / window)
+    best = min(times)
+    return {
+        "train_config": f"{size}px ADM-192 train step, batch {B} (micro {micro}), bf16",
+        "train_ms_per_step": round(best * 1000, 1),
+        "train_samples_per_sec_per_chip": round(B / best, 2),
+        "train_compile_sec": round(compile_s, 1),
+    }
 
 
 def _arm_watchdog() -> None:
@@ -353,6 +460,14 @@ def _arm_watchdog() -> None:
     budget_s = float(os.environ.get("BENCH_WATCHDOG_SECS", 3300))
 
     def fire():
+        if _BEST_RESULT is not None:
+            result = dict(_BEST_RESULT)
+            result["watchdog_truncated"] = (
+                f"watchdog fired after {budget_s:.0f}s during a best-effort "
+                "section; headline value above is complete"
+            )
+            _emit(result)
+            os._exit(0)
         _emit_error(f"bench watchdog fired after {budget_s:.0f}s (wedged backend?)")
         os._exit(3)
 
