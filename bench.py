@@ -5,8 +5,17 @@ ADM-G 256px UNet (learn_sigma, scale-shift norm, resblock up/down, head-ch 64,
 bf16 torso) guided by the 128-wide EncoderUNet classifier, with the classifier
 gradient composed into a single scanned 250-step denoise chain.
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+EARLY and OFTEN: the headline line is emitted the moment the first timed
+repeat of the headline mode completes (~6 min in), then RE-emitted, enriched,
+after every additional repeat / best-effort section (bf16 comparison, train
+step). Every line is complete and parseable on its own; the LAST line is the
+most complete. This ordering exists because the driver running this script
+kills it on a budget (~900 s observed) that earlier versions overran by
+holding all output to the end — a first-line or last-line parser both get a
+valid headline now. A watchdog (BENCH_WATCHDOG_SECS, default 700) re-emits
+the best result so far and exits 0 before any external kill can fire.
 
 vs_baseline is measured against an A100 PyTorch reference estimate of
 2.5 samples/min/chip (no throughput numbers exist in the reference repo —
@@ -15,9 +24,11 @@ guided denoise step at batch 4 in fp16, i.e. 250 steps -> ~2 min/batch-of-4).
 
 Env knobs: BENCH_BATCH (default 16 — measured throughput-optimal on v5e-1;
 batch 4 underutilizes the chip ~2x), BENCH_STEPS (default 250),
-BENCH_IMAGE_SIZE (default 256), BENCH_REPEATS (default 2 — a full two-mode
-run is ~24 min through the relay; keep headroom under driver timeouts),
-BENCH_MODES (default "int8,bf16").
+BENCH_IMAGE_SIZE (default 256), BENCH_REPEATS (default 2),
+BENCH_MODES (default "int8,bf16"), BENCH_WATCHDOG_SECS (default 700 —
+the whole run's wall budget; best-effort sections self-skip when they
+don't fit), BENCH_EXTRA_DEADLINE_SECS (absolute elapsed-seconds override
+for the best-effort gate; normally derived from the watchdog).
 
 Headline mode is int8 — the deployment fast path (2x MXU rate on v5e),
 clearly labeled in the metric string; bf16 (the precision-for-precision
@@ -39,6 +50,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_BASELINE_SAMPLES_PER_MIN = 2.5  # estimated; see module docstring
 _T0 = time.time()
+
+# Single wall-clock budget everything derives from. The driver's observed
+# kill is ~900s; the watchdog must beat it with margin to salvage output.
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_SECS", 700))
+
+
+def _room_for(section_estimate_s: float) -> bool:
+    """True if a best-effort section of the given size fits before the
+    watchdog. BENCH_EXTRA_DEADLINE_SECS (absolute elapsed deadline)
+    overrides the watchdog-derived budget when set."""
+    override = os.environ.get("BENCH_EXTRA_DEADLINE_SECS")
+    deadline = float(override) if override else WATCHDOG_S - section_estimate_s
+    return (time.time() - _T0) < deadline
 
 # Best result computed so far: if the watchdog fires mid-run (e.g. a relay
 # death during a best-effort extra section), it prints THIS instead of a bare
@@ -66,51 +90,54 @@ def _emit_error(msg: str) -> None:
     )
 
 
-def _init_backend_with_retry(retries: int = 3, timeout_s: float = 90.0):
-    """Initialize the jax backend defensively.
+def _start_backend_probe(retries: int = 3, timeout_s: float = 90.0):
+    """Kick off backend initialization in a daemon thread; return a join fn.
 
     `jax.devices()` can hang forever when a remote TPU relay is half-dead
-    (observed in round 1: 550s of wall with 2s of CPU). Probe it from a
-    daemon thread with a timeout, retrying a few times, so a dead backend
-    becomes a reported error instead of a hang or a traceback.
+    (observed in round 1: 550s of wall with 2s of CPU). Probing from a
+    daemon thread (a) bounds the hang and (b) lets host-side prep — model
+    construction, eval_shape, the 550MB host param fill — overlap the
+    multi-second relay handshake instead of serializing after it.
     """
     from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()
     import jax
 
-    last_err = "unknown"
-    for attempt in range(retries):
-        result = {}
+    state: dict = {}
 
-        def probe():
+    def probe_loop():
+        for attempt in range(retries):
             try:
-                result["devices"] = jax.devices()
+                state["devices"] = jax.devices()
+                return
             except Exception as e:  # noqa: BLE001 - report, don't crash
-                result["error"] = repr(e)
+                state["error"] = repr(e)
+            time.sleep(5.0 * (attempt + 1))
 
-        th = threading.Thread(target=probe, daemon=True)
-        th.start()
-        th.join(timeout_s)
-        if result.get("devices"):
-            return result["devices"]
-        last_err = result.get(
-            "error", f"jax.devices() did not return within {timeout_s:.0f}s"
+    th = threading.Thread(target=probe_loop, daemon=True)
+    th.start()
+
+    def join():
+        th.join(timeout_s * retries)
+        if state.get("devices"):
+            return state["devices"]
+        raise RuntimeError(
+            "backend init failed: "
+            + state.get("error", f"jax.devices() did not return within {timeout_s * retries:.0f}s")
         )
-        time.sleep(5.0 * (attempt + 1))
-    raise RuntimeError(f"backend init failed after {retries} attempts: {last_err}")
+
+    return join
 
 
 def main():
     global _T0
     _T0 = time.time()
-    devices = _init_backend_with_retry()
+    join_backend = _start_backend_probe()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    del devices  # probed for liveness; normal jax API used from here on
 
     from guided_diffusion_clip_tpu.diffusion.guidance import (
         classifier_cond_fn,
@@ -193,6 +220,7 @@ def main():
         host = jax.tree_util.tree_map(
             lambda s: (rs.standard_normal(s.shape) * 0.02).astype(s.dtype), shapes
         )
+        join_backend()  # host fill overlapped the relay handshake; sync here
         return jax.device_put(host)
 
     params = random_fill(
@@ -268,11 +296,14 @@ def main():
 
     classes = jnp.zeros((B,), jnp.int32)
 
-    def measure(mode: str, n_repeats: int):
+    def measure(mode: str, n_repeats: int, on_partial=None):
         # mode: "bf16"/"xla" | "int8" (quantized convs, bf16 STE guidance bwd).
         # An int8 guidance BACKWARD was also tried and measured SLOWER (9.75
         # vs 10.31 samples/min on v5e: XLA's s8 dgrad lowering + cotangent
         # quantization overhead outweigh the MXU rate win) — not a mode.
+        # on_partial(best_s, compile_s, repeats_done) runs after EVERY timed
+        # repeat so the caller can emit a parseable result as soon as one
+        # full chain has been timed.
         set_conv_impl("int8" if mode == "int8" else "xla")
         run_segment = make_run_segment()
 
@@ -299,42 +330,56 @@ def main():
             t0 = time.time()
             run_and_fetch(jax.random.key(2 + i))
             times.append(time.time() - t0)
+            if on_partial is not None:
+                on_partial(min(times), compile_s, i + 1)
         return min(times), compile_s
 
     # Headline: int8 — the deployment fast path, labeled in the metric
     # string and quality-bounded on-chip (see module docstring); bf16 is
     # reported alongside as the precision-for-precision comparison.
     modes = [m for m in os.environ.get("BENCH_MODES", "int8,bf16").split(",") if m]
-    best, compile_s = measure(modes[0], repeats)
-    samples_per_min = B * 60.0 / best
-    result = {
-        "metric": f"samples/min/chip ({image_size}x{image_size}, {steps}-step {sampler} classifier-guided, batch {B}, {modes[0]})",
-        "value": round(samples_per_min, 3),
-        "unit": "samples/min",
-        "vs_baseline": round(samples_per_min / A100_BASELINE_SAMPLES_PER_MIN, 3),
-        "steps_per_sec_per_chip": round(steps / best, 3),
-        "sec_per_batch": round(best, 3),
-        "compile_sec": round(compile_s, 1),
-        "device": str(jax.devices()[0]),
-        "baseline_estimate": f"{A100_BASELINE_SAMPLES_PER_MIN} samples/min on A100 (PyTorch fp16, estimated; reference publishes no throughput)",
-    }
-    if modes[0] == "int8":
-        result["int8_quality_bound"] = (
-            "per-step vs bf16 at full 256px scale (tools/int8_quality_check.py, on-chip): "
-            "UNet output corr 0.99975 / rel-RMSE 2.2% of signal std; "
-            "guidance gradient corr 0.999972 / rel-RMSE 0.8%"
+    result: dict = {}
+
+    def set_headline(best_s: float, compile_s: float, repeats_done: int) -> None:
+        """Fill the headline fields and EMIT — called after every timed
+        repeat of the headline mode, so a parseable line exists on stdout
+        as early as possible (the driver kills long benches; see docstring)."""
+        global _BEST_RESULT
+        samples_per_min = B * 60.0 / best_s
+        result.update(
+            {
+                "metric": f"samples/min/chip ({image_size}x{image_size}, {steps}-step {sampler} classifier-guided, batch {B}, {modes[0]})",
+                "value": round(samples_per_min, 3),
+                "unit": "samples/min",
+                "vs_baseline": round(samples_per_min / A100_BASELINE_SAMPLES_PER_MIN, 3),
+                "steps_per_sec_per_chip": round(steps / best_s, 3),
+                "sec_per_batch": round(best_s, 3),
+                "compile_sec": round(compile_s, 1),
+                "repeats_done": repeats_done,
+                "device": str(jax.devices()[0]),
+                "baseline_estimate": f"{A100_BASELINE_SAMPLES_PER_MIN} samples/min on A100 (PyTorch fp16, estimated; reference publishes no throughput)",
+            }
         )
+        if modes[0] == "int8":
+            result["int8_quality_bound"] = (
+                "per-step vs bf16 at full 256px scale (tools/int8_quality_check.py, on-chip): "
+                "UNet output corr 0.99975 / rel-RMSE 2.2% of signal std; "
+                "guidance gradient corr 0.999972 / rel-RMSE 0.8%"
+            )
+        _BEST_RESULT = dict(result)
+        _emit(result)
+
+    measure(modes[0], repeats, on_partial=set_headline)
+
     global _BEST_RESULT
-    _BEST_RESULT = dict(result)
     for extra in modes[1:]:
-        # Extra modes are best-effort: if the headline mode ate most of the
-        # watchdog budget (relay compiles vary 8-40 min), skip rather than
-        # let the watchdog kill the process before the JSON line is printed.
-        elapsed = time.time() - _T0
-        deadline = float(os.environ.get("BENCH_EXTRA_DEADLINE_SECS", 2100))
-        if elapsed > deadline:
+        # Extra modes are best-effort: skip unless a full measure (compile
+        # ~100s + warm chain + 2 repeats ~ 260s) fits inside the watchdog;
+        # the watchdog salvages the already-emitted headline either way.
+        if not _room_for(280):
             result[f"{extra}_skipped"] = (
-                f"headline mode used {elapsed:.0f}s of the watchdog budget"
+                f"headline mode used {time.time() - _T0:.0f}s of the "
+                f"{WATCHDOG_S:.0f}s watchdog budget"
             )
             continue
         try:
@@ -348,21 +393,28 @@ def main():
         except Exception as e:  # noqa: BLE001 - extra mode must not kill the headline
             result[f"{extra}_error"] = repr(e)[:300]
         _BEST_RESULT = dict(result)
+        _emit(result)
 
     # Best-effort training datapoint (64px README config, tools/
     # train_step_bench.py semantics) under the same deadline discipline.
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        elapsed = time.time() - _T0
-        deadline = float(os.environ.get("BENCH_EXTRA_DEADLINE_SECS", 2100))
-        if elapsed > deadline:
-            result["train_skipped"] = f"sampling used {elapsed:.0f}s of the budget"
+        if not _room_for(240):
+            result["train_skipped"] = (
+                f"sampling used {time.time() - _T0:.0f}s of the "
+                f"{WATCHDOG_S:.0f}s watchdog budget"
+            )
         else:
             try:
                 result.update(_measure_train_step())
             except Exception as e:  # noqa: BLE001 - must not kill the headline
                 result["train_error"] = repr(e)[:300]
         _BEST_RESULT = dict(result)
-    print(json.dumps(result))
+        _emit(result)
+
+    # Final line: the complete result, including any *_skipped markers added
+    # after the last section emit. Duplicate lines are harmless — every line
+    # is parseable and the last is the most complete.
+    _emit(result)
 
 
 def _measure_train_step():
@@ -455,9 +507,10 @@ def _arm_watchdog() -> None:
 
     Protects against mid-run hangs (e.g. a TPU relay dying between dispatches)
     that would otherwise end in the driver's own timeout with no parseable
-    output at all.
+    output at all. Must fire BEFORE the driver's external kill (~900s
+    observed), hence the 700s default on WATCHDOG_S.
     """
-    budget_s = float(os.environ.get("BENCH_WATCHDOG_SECS", 3300))
+    budget_s = WATCHDOG_S
 
     def fire():
         if _BEST_RESULT is not None:

@@ -58,10 +58,11 @@ def export(lmdb_path: str, out_dir: str, side: int, log_every: int = 10000) -> i
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     count = 0
-    for count, crop in enumerate(iter_lmdb_crops(lmdb_path, side)):
-        Image.fromarray(crop).save(out / f"{count:07d}.png")
-        if count % log_every == 0:
-            print(f"exported {count} images", file=sys.stderr)
+    for i, crop in enumerate(iter_lmdb_crops(lmdb_path, side)):
+        Image.fromarray(crop).save(out / f"{i:07d}.png")
+        count = i + 1
+        if i % log_every == 0:
+            print(f"exported {i} images", file=sys.stderr)
     return count
 
 

@@ -295,12 +295,30 @@ def inception_features(params, x_0_255, *, spatial_pre_activation=False):
 
             spec = units["mixed_6/conv"]
             p = params["mixed_6/conv"]
-            raw = jax.lax.conv_general_dilated(
+            folded = jax.lax.conv_general_dilated(
                 x, jnp.asarray(p["w"]), (1, 1), S,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            post = jax.nn.relu(raw + jnp.asarray(p["b"]))
-            spatial = (raw if spatial_pre_activation else post)[..., :7]
+            post = jax.nn.relu(folded + jnp.asarray(p["b"]))
+            if spatial_pre_activation:
+                # `p["w"]` has the BN scale folded in (converter), so the
+                # folded conv output is the reference's raw mixed_6/conv:0
+                # scaled per-channel by the BN factor — the UNFOLDED weight
+                # is stored separately for this case (sFID parity).
+                p_raw = params.get("mixed_6/conv_raw")
+                if p_raw is None:
+                    raise ValueError(
+                        "spatial_pre_activation=True needs the unfolded "
+                        "'mixed_6/conv_raw' weights in the params npz; "
+                        "re-run the pb->npz converter"
+                    )
+                raw = jax.lax.conv_general_dilated(
+                    x, jnp.asarray(p_raw["w"]), (1, 1), S,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                spatial = raw[..., :7]
+            else:
+                spatial = post[..., :7]
             branch0 = post
         else:
             branch0 = _conv(params, f"{name}/conv", x, units[f"{name}/conv"])
@@ -424,6 +442,11 @@ def convert_pb(pb_path: str, out_path: str) -> dict:
             "w": (w * s[None, None, None, :]).astype(np.float32),
             "b": (beta - mean * s).astype(np.float32),
         }
+        if prefix == "mixed_6/conv":
+            # Keep the pre-BN-fold weight around: if the pb's mixed_6/conv:0
+            # tensor turns out to be the raw Conv2D output, the forward pass
+            # needs the unfolded kernel to reproduce it (sFID features).
+            unfolded_mixed6_w = w.astype(np.float32)
 
     missing = sorted(set(expected) - set(params))
     assert not missing, f"pb conversion missing conv units: {missing}"
@@ -437,9 +460,15 @@ def convert_pb(pb_path: str, out_path: str) -> dict:
     # Record whether the tensor named mixed_6/conv:0 is the raw Conv2D output
     # or the post-BN/ReLU output, so the forward pass reproduces it exactly.
     sp_node = nodes.get("mixed_6/conv")
-    params["spatial_pre_activation"] = np.asarray(
-        sp_node is not None and sp_node.op == "Conv2D"
-    )
+    pre_act = sp_node is not None and sp_node.op == "Conv2D"
+    params["spatial_pre_activation"] = np.asarray(pre_act)
+    if pre_act:
+        # forward needs the unfolded kernel to reproduce the raw Conv2D
+        # output (the folded 'w' above is scaled per-channel by BN)
+        params["mixed_6/conv_raw"] = {
+            "w": unfolded_mixed6_w,
+            "b": np.zeros(unfolded_mixed6_w.shape[-1], np.float32),
+        }
 
     flat = {}
     for k, v in params.items():

@@ -117,25 +117,33 @@ def _batched_iterator(dataset, batch_size, deterministic, prefetch):
 
 
 def list_image_files_recursively(data_dir: str) -> list[str]:
+    """Recursive listing; gs:// etc. route through fsspec (bf.listdir parity,
+    reference image_datasets.py:76-85)."""
+    from ..utils import bf_io
+
     results = []
-    for entry in sorted(os.listdir(data_dir)):
-        full_path = os.path.join(data_dir, entry)
+    for entry in bf_io.listdir(data_dir):
+        full_path = bf_io.join(data_dir, entry)
         ext = entry.split(".")[-1]
         if "." in entry and ext.lower() in ["jpg", "jpeg", "png", "gif"]:
             results.append(full_path)
-        elif os.path.isdir(full_path):
+        elif bf_io.isdir(full_path):
             results.extend(list_image_files_recursively(full_path))
     return results
 
 
 def _load_clip_dict(path: str):
     """Load the precomputed {filename: embedding(s)} dict (.pt via torch, or .npz)."""
+    from ..utils import bf_io
+
     if path.endswith(".npz"):
-        data = np.load(path)
-        return {k: data[k] for k in data.files}
+        with bf_io.open_file(path, "rb") as f:
+            data = np.load(f)
+            return {k: data[k] for k in data.files}
     import torch
 
-    data = torch.load(path, map_location="cpu", weights_only=False)
+    with bf_io.open_file(path, "rb") as f:
+        data = torch.load(f, map_location="cpu", weights_only=False)
     return {k: np.asarray(v) for k, v in data.items()}
 
 
@@ -199,7 +207,9 @@ class ImageDataset:
         path = self.local_images[idx]
         if self.native:
             return self._get_sample_native(idx, path)
-        with open(path, "rb") as f:
+        from ..utils import bf_io
+
+        with bf_io.open_file(path, "rb") as f:
             pil_image = Image.open(f)
             pil_image.load()
         pil_image = pil_image.convert("RGB")

@@ -63,9 +63,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch with the batch dim sharded over `data`."""
+    """Place a host batch with the batch dim sharded over `data`.
+
+    Single-process: a plain device_put. Multi-process: each process holds a
+    DIFFERENT local batch (dataset sharding, image_datasets.py:103 parity),
+    so the global array is assembled from per-process shards via
+    `jax.make_array_from_process_local_data` — the global batch dim becomes
+    process_count * local_batch, matching the reference's
+    global_batch = batch_size * world (train_util.py:69).
+    """
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        import numpy as np_
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np_.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def host_local_part(x):
+    """Host-fetch the rows of a leading-axis 'data'-sharded global array that
+    live on THIS process, in global order.
+
+    The inverse of `shard_batch` for per-process reads: a multi-process
+    global array is not fully addressable, so `device_get` raises; the
+    addressable shards, ordered by global offset, are exactly this process's
+    contribution (make_array_from_process_local_data places local rows at
+    the global indices owned by local devices, under the same sharding).
+    Replicated arrays and single-process arrays pass through np.asarray.
+    """
+    import numpy as np_
+
+    if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True):
+        return np_.asarray(x)
+    shards = sorted(
+        x.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np_.concatenate([np_.asarray(s.data) for s in shards], axis=0)
 
 
 def replicate(mesh: Mesh, tree):

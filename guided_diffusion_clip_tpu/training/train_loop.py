@@ -39,8 +39,11 @@ from ..parallel import dist as pdist
 from ..parallel.mesh import (
     constrain_tree,
     create_data_mesh,
+    data_sharding,
     fsdp_sharding_tree,
+    host_local_part,
     replicate,
+    replicated,
     shard_batch,
     shard_tree,
 )
@@ -114,7 +117,18 @@ class TrainLoop:
         self.step = 0
         self.resume_step = 0
         self.global_batch = self.batch_size * max(1, jax.process_count())
-        self.mesh = mesh if mesh is not None else create_data_mesh(self.batch_size)
+        # the mesh shards the GLOBAL batch (per-process batches are assembled
+        # into one global array by shard_batch under multi-process)
+        self.mesh = mesh if mesh is not None else create_data_mesh(self.global_batch)
+        if jax.process_count() > 1:
+            # every process must own mesh devices covering exactly its local
+            # batch rows, or shard_batch's global-array assembly cannot work
+            n_local = len(self.mesh.local_devices)
+            mesh_n = self.mesh.devices.size
+            assert n_local > 0 and self.global_batch * n_local == self.batch_size * mesh_n, (
+                f"per-process batch {self.batch_size} does not map onto "
+                f"{n_local}/{mesh_n} local mesh devices"
+            )
         assert param_sharding in ("replicated", "fsdp"), param_sharding
         self.param_sharding = param_sharding
         self.np_rng = np.random.default_rng(seed + jax.process_index())
@@ -168,7 +182,7 @@ class TrainLoop:
         opt_path = os.path.join(
             os.path.dirname(resume), ckpt.checkpoint_name("opt", self.resume_step, ext=ext)
         )
-        if os.path.exists(opt_path) and opt_path.endswith(".flax"):
+        if opt_path.endswith(".flax") and ckpt.bf_io.exists(opt_path):
             logger.log(f"loading optimizer state from checkpoint: {opt_path}")
             self.opt_state = ckpt.load_flax(opt_path, self.opt_state)
 
@@ -199,8 +213,12 @@ class TrainLoop:
         opt = self.opt
         ema_rates = tuple(self.ema_rate)
         n_micro = self.n_micro
-        micro = self.microbatch
+        # the step sees the GLOBAL batch: world * per-process microbatch rows
+        # per scan iteration (DDP grad-mean-over-world parity, SURVEY §2.1)
+        micro = self.microbatch * max(1, jax.process_count())
         param_shd, opt_shd, ema_shd = self._param_shd, self._opt_shd, self._ema_shd
+        rep_shd = replicated(self.mesh)
+        vec_shd = data_sharding(self.mesh)
 
         def loss_of_microbatch(params, x, cond, t, weights, rng):
             dropout_rng, noise_rng = jax.random.split(rng)
@@ -217,6 +235,20 @@ class TrainLoop:
             return loss, terms
 
         def train_step(params, opt_state, ema_params, batch, cond, t, weights, rng):
+            # ZeRO-3 structure: compute with params constrained REPLICATED —
+            # one loop-invariant all-gather that XLA hoists out of the
+            # microbatch scan — so batch-sharded activations never meet
+            # dimension-sharded weights mid-layer (that mismatch made the
+            # partitioner fall back to "involuntary full rematerialization"
+            # on emb/attention tensors, MULTICHIP_r02). Grads are pinned
+            # back to the FSDP spec (reduce-scatter) per microbatch, and the
+            # optimizer/EMA update runs fully sharded.
+            if param_shd is not None:
+                rep_tree = jax.tree_util.tree_map(lambda _: rep_shd, params)
+                compute_params = constrain_tree(params, rep_tree)
+            else:
+                compute_params = params
+
             # reshape [B, ...] -> [n_micro, micro, ...]
             def split(x):
                 return x.reshape((n_micro, micro) + x.shape[1:])
@@ -228,7 +260,7 @@ class TrainLoop:
 
             def scan_body(acc, inp):
                 (x, c, tt, w), r = inp
-                (loss, terms), grads = grad_fn(params, x, c, tt, w, r)
+                (loss, terms), grads = grad_fn(compute_params, x, c, tt, w, r)
                 acc = jax.tree_util.tree_map(jnp.add, acc, grads)
                 if param_shd is not None:
                     # reduce-scatter each microbatch's grads immediately so
@@ -261,13 +293,17 @@ class TrainLoop:
                 ema_params = tuple(
                     constrain_tree(e, s) for e, s in zip(ema_params, ema_shd)
                 )
+            # pin metric shardings: scalars replicated (host-fetchable from
+            # every process), per-example vecs batch-sharded so each process
+            # reads back exactly its own examples via host_local_part
+            con = jax.lax.with_sharding_constraint
             metrics = dict(
-                loss=jnp.mean(losses),
-                grad_norm=grad_norm,
-                param_norm=param_norm,
-                loss_vec=loss_vec.reshape(-1),
-                mse_vec=mse_vec.reshape(-1),
-                vb_vec=vb_vec.reshape(-1),
+                loss=con(jnp.mean(losses), rep_shd),
+                grad_norm=con(grad_norm, rep_shd),
+                param_norm=con(param_norm, rep_shd),
+                loss_vec=con(loss_vec.reshape(-1), vec_shd),
+                mse_vec=con(mse_vec.reshape(-1), vec_shd),
+                vb_vec=con(vb_vec.reshape(-1), vec_shd),
             )
             return params, opt_state, ema_params, metrics
 
@@ -324,7 +360,10 @@ class TrainLoop:
             # step's t (reference train_util.py:190): stay synchronous, but
             # still fetch all metrics in ONE device round trip
             self.flush_metrics()
-            metrics = jax.device_get(metrics)
+            metrics = self._fetch_metrics(metrics)
+            # loss_vec holds THIS process's examples (host_local_part), so
+            # the sampler's cross-process gather (resample.py:83-104 parity)
+            # sees each rank's local (t, loss) exactly once
             self.schedule_sampler.update_with_local_losses(
                 t_np, np.asarray(metrics["loss_vec"])
             )
@@ -345,7 +384,20 @@ class TrainLoop:
             return
         self._pending_log = None
         step, t_np, metrics = pending
-        self._log_step_metrics(t_np, jax.device_get(metrics), step=step)
+        self._log_step_metrics(t_np, self._fetch_metrics(metrics), step=step)
+
+    def _fetch_metrics(self, metrics):
+        """Host-fetch the metrics dict. Single-process: one device_get.
+        Multi-process: scalars are replicated (pinned in the train step);
+        per-example vecs are batch-sharded, so each process reads back its
+        own examples — aligned with its local t_np by construction
+        (see mesh.host_local_part)."""
+        if jax.process_count() == 1:
+            return jax.device_get(metrics)
+        return {
+            k: (host_local_part(v) if k.endswith("_vec") else np.asarray(v))
+            for k, v in metrics.items()
+        }
 
     def _log_step_metrics(self, t_np, metrics, step=None):
         step = self.step + self.resume_step if step is None else step
@@ -371,18 +423,24 @@ class TrainLoop:
     def save(self):
         step = self.step + self.resume_step
         out_dir = get_blob_logdir()
+        # gather_to_host is a COLLECTIVE when state is sharded across
+        # processes (FSDP on a multi-host mesh): every process participates
+        # in the all-gather; only the primary writes the files. On a single
+        # host (replicated or FSDP) the gathers are local device reads.
+        trees = [
+            (ckpt.checkpoint_name("model", step), self.params),
+            *(
+                (ckpt.checkpoint_name("ema", step, rate), ema)
+                for rate, ema in zip(self.ema_rate, self.ema_params)
+            ),
+            (ckpt.checkpoint_name("opt", step), self.opt_state),
+        ]
         if pdist.is_primary():
             logger.log(f"saving model at step {step}...")
-            ckpt.save_flax(
-                os.path.join(out_dir, ckpt.checkpoint_name("model", step)), self.params
-            )
-            for rate, ema in zip(self.ema_rate, self.ema_params):
-                ckpt.save_flax(
-                    os.path.join(out_dir, ckpt.checkpoint_name("ema", step, rate)), ema
-                )
-            ckpt.save_flax(
-                os.path.join(out_dir, ckpt.checkpoint_name("opt", step)), self.opt_state
-            )
+        for name, tree in trees:
+            host_tree = ckpt.gather_to_host(tree)
+            if pdist.is_primary():
+                ckpt.save_flax(os.path.join(out_dir, name), host_tree)
         pdist.barrier("save")
 
     def _get_val_chain(self, shape):
@@ -410,7 +468,12 @@ class TrainLoop:
                 def model_fn(x, t, **kw):
                     return self.model.apply({"params": ema}, x, t, **kw)
 
-                return loop(model_fn, shape, key, model_kwargs=mk)
+                out = loop(model_fn, shape, key, model_kwargs=mk)
+                # leading-dim sharded output so each process can host-read
+                # its own rows (multi-process val; no-op single-process)
+                return jax.lax.with_sharding_constraint(
+                    out, data_sharding(self.mesh)
+                )
 
             chain = cache[key] = jax.jit(_chain)
         return chain
@@ -431,13 +494,24 @@ class TrainLoop:
             except StopIteration:
                 continue
             n = min(num_samples, len(batch))
-            batch = jnp.asarray(batch[:n], dtype=jnp.float32)
-            cond = {k: jnp.asarray(v[:n]) for k, v in cond.items()}
+            if jax.process_count() > 1:
+                # each process contributes its local val batch; the chain
+                # runs SPMD over the global array (replicated EMA params +
+                # a process-local batch cannot meet in one jit program)
+                batch_host = np.asarray(batch[:n], dtype=np.float32)
+                batch = shard_batch(self.mesh, batch_host)
+                cond = shard_batch(
+                    self.mesh, {k: np.asarray(v[:n]) for k, v in cond.items()}
+                )
+            else:
+                batch_host = None
+                batch = jnp.asarray(batch[:n], dtype=jnp.float32)
+                cond = {k: jnp.asarray(v[:n]) for k, v in cond.items()}
 
             self.rng, sample_rng = jax.random.split(self.rng)
             chain = self._get_val_chain(batch.shape)
             sample = chain(self.ema_params[0], sample_rng, cond)
-            gathered = pdist.all_gather_host(np.asarray(sample))
+            gathered = pdist.all_gather_host(host_local_part(sample))
             gathered = gathered.reshape((-1,) + gathered.shape[2:])
             if pdist.is_primary():
                 step = self.step + self.resume_step
@@ -450,7 +524,9 @@ class TrainLoop:
                     os.path.join(out_dir, f"val_samples_{di}_{step:06d}.png"),
                 )
                 save_img(
-                    tensor2img(np.asarray(batch)),
+                    tensor2img(
+                        batch_host if batch_host is not None else np.asarray(batch)
+                    ),
                     os.path.join(out_dir, f"val_targets_{di}_{step:06d}.png"),
                 )
         pdist.barrier("val_sample")

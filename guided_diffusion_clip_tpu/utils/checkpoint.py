@@ -18,6 +18,8 @@ import jax
 import numpy as np
 from flax import serialization
 
+from . import bf_io
+
 
 def init_template(model, *example_args, **example_kwargs):
     """Parameter template (shapes/dtypes as host zeros) WITHOUT compiling.
@@ -46,14 +48,35 @@ def setup_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def gather_to_host(tree):
+    """Fetch a (possibly cross-process-sharded) pytree to host numpy.
+
+    Under FSDP on a multi-host mesh the leaves are not fully addressable, so
+    a plain np.asarray raises; such leaves are assembled to their full global
+    value on every host via multihost_utils.process_allgather. Collective:
+    when any leaf spans processes, ALL processes must call this together
+    (TrainLoop.save does — the primary-only gate applies to the file write,
+    not the gather).
+    """
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def save_flax(path: str, tree) -> None:
-    host_tree = jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
-    with open(path, "wb") as f:
+    host_tree = gather_to_host(tree)
+    with bf_io.open_file(path, "wb") as f:
         f.write(serialization.to_bytes(host_tree))
 
 
 def load_flax(path: str, template):
-    with open(path, "rb") as f:
+    with bf_io.open_file(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 
 
@@ -86,8 +109,8 @@ def find_ema_checkpoint(main_checkpoint: str | None, step: int, rate) -> str | N
         return None
     ext = main_checkpoint.rsplit(".", 1)[-1]
     filename = checkpoint_name("ema", step, rate, ext=ext)
-    path = os.path.join(os.path.dirname(main_checkpoint), filename)
-    return path if os.path.exists(path) else None
+    path = bf_io.join(os.path.dirname(main_checkpoint), filename)
+    return path if bf_io.exists(path) else None
 
 
 def load_params(path: str, template, *, model: str = "unet", pool: str | None = None):

@@ -246,5 +246,8 @@ def load_pt_checkpoint(path: str, params_template, *, model: str = "unet", pool:
     """Load a released .pt checkpoint file onto a flax param template."""
     import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    from . import bf_io
+
+    with bf_io.open_file(path, "rb") as f:
+        sd = torch.load(f, map_location="cpu", weights_only=True)
     return import_torch_state_dict(sd, params_template, model=model, pool=pool)

@@ -67,8 +67,9 @@ def main():
     args = create_argparser().parse_args()
     from guided_diffusion_clip_tpu.ops.config import set_conv_impl
 
-    set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
+    # after parse_yaml so a conv_impl key in the YAML config takes effect
+    set_conv_impl(getattr(args, "conv_impl", "auto"))
 
     pdist.setup_dist()
     logger.configure(args=args)

@@ -43,8 +43,9 @@ def main():
     args = create_argparser().parse_args()
     from guided_diffusion_clip_tpu.ops.config import int8_emit, set_conv_impl
 
-    set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
+    # after parse_yaml so a conv_impl key in the YAML config takes effect
+    set_conv_impl(getattr(args, "conv_impl", "auto"))
     load_folder_path_parse(args)
     if getattr(args, "main_path", None) and getattr(args, "sub_dir_tstsave", None):
         args.main_path = os.path.join(args.main_path, args.sub_dir_tstsave)
@@ -118,7 +119,8 @@ def main():
 
     logger.log("sampling...")
     all_images = []
-    n_batches = -(-args.num_samples // args.batch_size)
+    # each iteration gathers world_size*batch_size samples (all_gather below)
+    n_batches = -(-args.num_samples // (args.batch_size * pdist.world_size()))
 
     def dispatched():
         nonlocal rng

@@ -40,8 +40,9 @@ def main():
     args = create_argparser().parse_args()
     from guided_diffusion_clip_tpu.ops.config import int8_emit, set_conv_impl
 
-    set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
+    # after parse_yaml so a conv_impl key in the YAML config takes effect
+    set_conv_impl(getattr(args, "conv_impl", "auto"))
     load_folder_path_parse(args)
     if getattr(args, "main_path", None) and getattr(args, "sub_dir_tstsave", None):
         args.main_path = os.path.join(args.main_path, args.sub_dir_tstsave)

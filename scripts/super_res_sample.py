@@ -62,8 +62,9 @@ def main():
     args = create_argparser().parse_args()
     from guided_diffusion_clip_tpu.ops.config import int8_emit, set_conv_impl
 
-    set_conv_impl(getattr(args, "conv_impl", "auto"))
     args = parse_yaml(args)
+    # after parse_yaml so a conv_impl key in the YAML config takes effect
+    set_conv_impl(getattr(args, "conv_impl", "auto"))
 
     pdist.setup_dist()
     logger.configure(args=args)
@@ -110,7 +111,8 @@ def main():
     logger.log("creating samples...")
     rng = jax.random.key(args.seed)
     all_images = []
-    n_batches = -(-args.num_samples // B)
+    # each iteration gathers world_size*B samples (all_gather below)
+    n_batches = -(-args.num_samples // (B * pdist.world_size()))
 
     def dispatched():
         nonlocal rng

