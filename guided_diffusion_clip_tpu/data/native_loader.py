@@ -5,11 +5,11 @@ normalization for a whole batch in one call (internal std::thread pool; the
 GIL is released for the duration). The Python pipeline keeps ordering,
 img2/CLIP pairing, and sharding.
 
-Opt-in (`load_data(..., native=True)` or GDC_NATIVE_LOADER=1): the final
-bicubic step is Catmull-Rom without PIL's antialias prefilter, so pixels can
-differ from the PIL path by ~1/255 when a non-integer resize remains after
-BOX halving; datasets already at target size (e.g. FFHQ thumbnails at 128px)
-are bit-identical. Builds on demand with `make -C native`.
+Opt-in (`load_data(..., native=True)` or GDC_NATIVE_LOADER=1). The C++
+resampler replicates Pillow's fixed-point resample algorithm exactly (both
+BOX and antialiased BICUBIC), so output pixels are BIT-IDENTICAL to the PIL
+path — pinned by tests/test_native_loader.py, including JPEG decode (same
+system libjpeg). Builds on demand with `make -C native`.
 """
 
 from __future__ import annotations

@@ -8,11 +8,15 @@
 // entire batch).
 //
 // Resize semantics follow the reference chain (image_datasets.py:167-208):
-// halve with 2x2 BOX averages while min(side) >= 2*target, then one bicubic
-// (Catmull-Rom, a=-0.5) step to make min(side) == target, then crop. The BOX
-// halving matches PIL bit-for-near; the final bicubic differs from PIL's
-// antialiased filter by <1 ulp-of-uint8 in the common (<2x) range — the
-// Python PIL path remains the default, this is the opt-in fast path.
+// halve with BOX while min(side) >= 2*target, then one BICUBIC step to make
+// min(side) == target, then crop. Both filters run PIL's exact resample
+// algorithm (Pillow Resample.c, 8bpc path): separable horizontal-then-
+// vertical passes, antialias-stretched kernels normalized in double, weights
+// quantized to 22-bit fixed point (PRECISION_BITS), int32 accumulation with
+// a half-ulp rounding bias, and truncating clip to uint8 BETWEEN passes —
+// so output pixels are bit-identical to the PIL path (pinned by
+// tests/test_native_loader.py). The Python PIL path remains the default;
+// this is the opt-in fast path.
 //
 // Build: make -C native   (produces libgdc_loader.so)
 
@@ -128,116 +132,166 @@ bool decode_file(const char* path, ImageU8* out) {
 }
 
 // ---------------------------------------------------------------- resizing
+//
+// Exact replication of Pillow's Resample.c 8bpc path (the PIL functions the
+// reference chain calls, image_datasets.py:167-208). Parity requires every
+// detail below: double-precision kernel normalization, 22-bit fixed-point
+// weight quantization, int32 accumulation with a half-ulp bias, truncating
+// uint8 clip BETWEEN the horizontal and vertical passes, and PIL's
+// window-bound arithmetic.
 
-void box_halve(ImageU8* img) {
-    int nw = img->w / 2, nh = img->h / 2;
-    std::vector<uint8_t> out(size_t(nw) * nh * 3);
-    for (int y = 0; y < nh; ++y) {
-        const uint8_t* r0 = img->rgb.data() + size_t(2 * y) * img->w * 3;
-        const uint8_t* r1 = r0 + size_t(img->w) * 3;
-        uint8_t* dst = out.data() + size_t(y) * nw * 3;
-        for (int x = 0; x < nw; ++x) {
-            for (int c = 0; c < 3; ++c) {
-                int s = r0[(2 * x) * 3 + c] + r0[(2 * x + 1) * 3 + c] +
-                        r1[(2 * x) * 3 + c] + r1[(2 * x + 1) * 3 + c];
-                dst[x * 3 + c] = uint8_t((s + 2) / 4);
-            }
-        }
-    }
-    img->rgb.swap(out);
-    img->w = nw;
-    img->h = nh;
+constexpr int PRECISION_BITS = 32 - 8 - 2;  // Pillow Resample.c
+
+inline double filter_bicubic(double x) {  // Pillow bicubic_filter, a = -0.5
+    const double a = -0.5;
+    if (x < 0.0) x = -x;
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
 }
 
-inline float cubic(float x) {  // Catmull-Rom / PIL BICUBIC kernel, a = -0.5
-    const float a = -0.5f;
-    x = std::fabs(x);
-    if (x < 1.0f) return ((a + 2.0f) * x - (a + 3.0f)) * x * x + 1.0f;
-    if (x < 2.0f) return (((x - 5.0f) * x + 8.0f) * x - 4.0f) * a;
-    return 0.0f;
+inline double filter_box(double x) {  // Pillow box_filter, support 0.5
+    if (x > -0.5 && x <= 0.5) return 1.0;
+    return 0.0;
 }
 
-// Precompute PIL-style antialiased resampling weights for one axis:
-// when downscaling, the kernel is stretched by filterscale = in/out so every
-// source pixel contributes (this is what PIL's resize does for all filters).
-struct AxisWeights {
+struct Coeffs {
     int ksize = 0;
-    std::vector<int> bounds;    // per output index: first source tap
-    std::vector<float> weights; // per output index: ksize weights
+    std::vector<int> xmin;       // per output index: first source tap
+    std::vector<int> xmax;       // per output index: tap count
+    std::vector<int32_t> kk;     // per output index: ksize fixed-point weights
 };
 
-AxisWeights precompute_weights(int in_size, int out_size) {
-    AxisWeights aw;
-    double filterscale = std::max(double(in_size) / out_size, 1.0);
-    double support = 2.0 * filterscale;  // bicubic support = 2
-    aw.ksize = int(std::ceil(support)) * 2 + 1;
-    aw.bounds.resize(out_size);
-    aw.weights.assign(size_t(out_size) * aw.ksize, 0.0f);
-    for (int x = 0; x < out_size; ++x) {
-        double center = (x + 0.5) * in_size / out_size;
-        int xmin = std::max(int(center - support + 0.5), 0);
-        int xmax = std::min(int(center + support + 0.5), in_size);
-        aw.bounds[x] = xmin;
-        double wsum = 0;
-        std::vector<double> w(xmax - xmin);
-        for (int i = 0; i < xmax - xmin; ++i) {
-            w[i] = cubic(float((xmin + i - center + 0.5) / filterscale));
-            wsum += w[i];
+Coeffs precompute_coeffs(int in_size, int out_size, double support0,
+                         double (*filter)(double)) {
+    Coeffs co;
+    double scale = double(in_size) / out_size;
+    double filterscale = scale < 1.0 ? 1.0 : scale;
+    double support = support0 * filterscale;
+    co.ksize = int(std::ceil(support)) * 2 + 1;
+    co.xmin.resize(out_size);
+    co.xmax.resize(out_size);
+    std::vector<double> k(co.ksize);
+    co.kk.assign(size_t(out_size) * co.ksize, 0);
+    for (int xx = 0; xx < out_size; ++xx) {
+        double center = (xx + 0.5) * scale;
+        double ww = 0.0;
+        double ss = 1.0 / filterscale;
+        int xmin = int(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        int xmax = int(center + support + 0.5);
+        if (xmax > in_size) xmax = in_size;
+        xmax -= xmin;
+        int x;
+        for (x = 0; x < xmax; ++x) {
+            double w = filter((x + xmin - center + 0.5) * ss);
+            k[x] = w;
+            ww += w;
         }
-        for (int i = 0; i < xmax - xmin; ++i)
-            aw.weights[size_t(x) * aw.ksize + i] = float(w[i] / wsum);
+        for (x = 0; x < xmax; ++x)
+            if (ww != 0.0) k[x] /= ww;
+        // quantize to fixed point exactly like normalize_coeffs_8bpc
+        int32_t* kq = &co.kk[size_t(xx) * co.ksize];
+        for (x = 0; x < xmax; ++x) {
+            if (k[x] < 0)
+                kq[x] = int32_t(-0.5 + k[x] * (1 << PRECISION_BITS));
+            else
+                kq[x] = int32_t(0.5 + k[x] * (1 << PRECISION_BITS));
+        }
+        co.xmin[xx] = xmin;
+        co.xmax[xx] = xmax;
     }
-    return aw;
+    return co;
 }
 
-void bicubic_resize(const ImageU8& src, ImageU8* dst, int nw, int nh) {
-    dst->w = nw;
-    dst->h = nh;
-    dst->rgb.resize(size_t(nw) * nh * 3);
-    AxisWeights wx = precompute_weights(src.w, nw);
-    AxisWeights wy = precompute_weights(src.h, nh);
+inline uint8_t clip8(int32_t in) {  // Pillow clip8
+    if (in >= (1 << PRECISION_BITS << 8)) return 255;
+    if (in <= 0) return 0;
+    return uint8_t(in >> PRECISION_BITS);
+}
 
-    // horizontal pass -> float rows
-    std::vector<float> tmp(size_t(nw) * src.h * 3);
+void resample_horizontal(const ImageU8& src, ImageU8* dst, const Coeffs& co) {
+    dst->h = src.h;
+    dst->rgb.resize(size_t(dst->w) * dst->h * 3);
     for (int y = 0; y < src.h; ++y) {
         const uint8_t* srow = src.rgb.data() + size_t(y) * src.w * 3;
-        float* trow = tmp.data() + size_t(y) * nw * 3;
-        for (int x = 0; x < nw; ++x) {
-            const float* w = &wx.weights[size_t(x) * wx.ksize];
-            int x0 = wx.bounds[x];
-            float acc[3] = {0, 0, 0};
-            for (int k = 0; k < wx.ksize; ++k) {
-                float wk = w[k];
-                if (wk == 0.0f) continue;
-                const uint8_t* p = srow + size_t(std::min(x0 + k, src.w - 1)) * 3;
-                acc[0] += wk * p[0];
-                acc[1] += wk * p[1];
-                acc[2] += wk * p[2];
+        uint8_t* drow = dst->rgb.data() + size_t(y) * dst->w * 3;
+        for (int x = 0; x < dst->w; ++x) {
+            const int32_t* k = &co.kk[size_t(x) * co.ksize];
+            int x0 = co.xmin[x];
+            int32_t acc[3];
+            acc[0] = acc[1] = acc[2] = 1 << (PRECISION_BITS - 1);
+            for (int i = 0; i < co.xmax[x]; ++i) {
+                const uint8_t* p = srow + size_t(x0 + i) * 3;
+                acc[0] += p[0] * k[i];
+                acc[1] += p[1] * k[i];
+                acc[2] += p[2] * k[i];
             }
-            trow[x * 3 + 0] = acc[0];
-            trow[x * 3 + 1] = acc[1];
-            trow[x * 3 + 2] = acc[2];
+            uint8_t* d = drow + size_t(x) * 3;
+            d[0] = clip8(acc[0]);
+            d[1] = clip8(acc[1]);
+            d[2] = clip8(acc[2]);
         }
     }
-    // vertical pass -> u8
-    for (int y = 0; y < nh; ++y) {
-        const float* w = &wy.weights[size_t(y) * wy.ksize];
-        int y0 = wy.bounds[y];
-        uint8_t* drow = dst->rgb.data() + size_t(y) * nw * 3;
-        for (int x = 0; x < nw; ++x) {
-            float acc[3] = {0, 0, 0};
-            for (int k = 0; k < wy.ksize; ++k) {
-                float wk = w[k];
-                if (wk == 0.0f) continue;
-                const float* p = tmp.data() + size_t(std::min(y0 + k, src.h - 1)) * nw * 3 + size_t(x) * 3;
-                acc[0] += wk * p[0];
-                acc[1] += wk * p[1];
-                acc[2] += wk * p[2];
+}
+
+void resample_vertical(const ImageU8& src, ImageU8* dst, const Coeffs& co) {
+    dst->w = src.w;
+    dst->rgb.resize(size_t(dst->w) * dst->h * 3);
+    for (int y = 0; y < dst->h; ++y) {
+        const int32_t* k = &co.kk[size_t(y) * co.ksize];
+        int y0 = co.xmin[y];
+        uint8_t* drow = dst->rgb.data() + size_t(y) * dst->w * 3;
+        for (int x = 0; x < dst->w; ++x) {
+            int32_t acc[3];
+            acc[0] = acc[1] = acc[2] = 1 << (PRECISION_BITS - 1);
+            for (int i = 0; i < co.xmax[y]; ++i) {
+                const uint8_t* p =
+                    src.rgb.data() + size_t(y0 + i) * src.w * 3 + size_t(x) * 3;
+                acc[0] += p[0] * k[i];
+                acc[1] += p[1] * k[i];
+                acc[2] += p[2] * k[i];
             }
-            for (int c = 0; c < 3; ++c)
-                drow[x * 3 + c] = uint8_t(std::clamp(acc[c] + 0.5f, 0.0f, 255.0f));
+            uint8_t* d = drow + size_t(x) * 3;
+            d[0] = clip8(acc[0]);
+            d[1] = clip8(acc[1]);
+            d[2] = clip8(acc[2]);
         }
     }
+}
+
+enum class Filter { BOX, BICUBIC };
+
+// PIL Image.resize semantics: horizontal pass then vertical pass, each
+// skipped when that axis size is unchanged (ImagingResampleInner).
+void pil_resize(const ImageU8& src, ImageU8* dst, int nw, int nh, Filter f) {
+    double support = f == Filter::BOX ? 0.5 : 2.0;
+    double (*filter)(double) = f == Filter::BOX ? filter_box : filter_bicubic;
+    bool need_h = nw != src.w;
+    bool need_v = nh != src.h;
+    if (!need_h && !need_v) {
+        *dst = src;
+        return;
+    }
+    if (need_h && need_v) {
+        ImageU8 tmp;
+        tmp.w = nw;
+        resample_horizontal(src, &tmp, precompute_coeffs(src.w, nw, support, filter));
+        dst->h = nh;
+        resample_vertical(tmp, dst, precompute_coeffs(src.h, nh, support, filter));
+    } else if (need_h) {
+        dst->w = nw;
+        resample_horizontal(src, dst, precompute_coeffs(src.w, nw, support, filter));
+    } else {
+        dst->h = nh;
+        resample_vertical(src, dst, precompute_coeffs(src.h, nh, support, filter));
+    }
+}
+
+void box_halve(ImageU8* img) {  // PIL .resize((w//2, h//2), BOX)
+    ImageU8 out;
+    pil_resize(*img, &out, img->w / 2, img->h / 2, Filter::BOX);
+    *img = std::move(out);
 }
 
 // xorshift for reproducible per-sample randomness
@@ -270,10 +324,12 @@ bool process_one(const char* path, int image_size, int random_crop, int do_flip,
     }
     while (std::min(img.w, img.h) >= 2 * target_small) box_halve(&img);
     if (std::min(img.w, img.h) != target_small) {
-        float scale = float(target_small) / std::min(img.w, img.h);
+        // Python computes round(x * scale) — round-half-EVEN (banker's);
+        // nearbyint under the default FE_TONEAREST mode matches it
+        double scale = double(target_small) / std::min(img.w, img.h);
         ImageU8 resized;
-        bicubic_resize(img, &resized, int(std::lround(img.w * scale)),
-                       int(std::lround(img.h * scale)));
+        pil_resize(img, &resized, int(std::nearbyint(img.w * scale)),
+                   int(std::nearbyint(img.h * scale)), Filter::BICUBIC);
         img = std::move(resized);
     }
     int cy, cx;
