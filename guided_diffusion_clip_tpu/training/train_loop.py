@@ -89,6 +89,7 @@ class TrainLoop:
         profile_dir: str = "",
         profile_steps: int = 3,
         param_sharding: str = "replicated",
+        ckpt_backend: str = "flax",
     ):
         self.model = model
         self.diffusion = diffusion
@@ -131,6 +132,9 @@ class TrainLoop:
             )
         assert param_sharding in ("replicated", "fsdp"), param_sharding
         self.param_sharding = param_sharding
+        assert ckpt_backend in ("flax", "orbax"), ckpt_backend
+        self.ckpt_backend = ckpt_backend
+        self._orbax = None  # created lazily at first save (needs the run dir)
         self.np_rng = np.random.default_rng(seed + jax.process_index())
         self.rng = jax.random.key(seed)
 
@@ -166,6 +170,28 @@ class TrainLoop:
     def _maybe_resume(self):
         resume = self.resume_checkpoint or find_resume_checkpoint()
         if not resume:
+            return
+        if os.path.basename(str(resume).rstrip("/")) == "orbax":
+            # resume from an async-orbax run dir: latest step, whole state
+            box = ckpt.OrbaxCheckpointer(resume)
+            step = box.latest_step()
+            if step is None:
+                raise FileNotFoundError(f"no orbax checkpoints under {resume}")
+            template = {
+                "model": self.params,
+                **{
+                    f"ema_{rate}": ema
+                    for rate, ema in zip(self.ema_rate, self.ema_params)
+                },
+                "opt": self.opt_state,
+            }
+            logger.log(f"loading orbax checkpoint {resume} step {step}...")
+            tree = box.restore(step, template)
+            box.close()
+            self.resume_step = int(step)
+            self.params = tree["model"]
+            self.ema_params = [tree[f"ema_{r}"] for r in self.ema_rate]
+            self.opt_state = tree["opt"]
             return
         self.resume_step = ckpt.parse_resume_step_from_filename(resume)
         logger.log(f"loading model from checkpoint: {resume}... (step {self.resume_step})")
@@ -340,6 +366,8 @@ class TrainLoop:
                 self.save()
         finally:
             prof.stop()
+            if self._orbax is not None:
+                self._orbax.wait()  # don't exit with an async save in flight
 
     def run_step(self, batch, cond):
         t_np, w_np = self.schedule_sampler.sample(self.batch_size, self.np_rng)
@@ -423,6 +451,26 @@ class TrainLoop:
     def save(self):
         step = self.step + self.resume_step
         out_dir = get_blob_logdir()
+        if self.ckpt_backend == "orbax":
+            # async + natively sharded: every process writes its own shards
+            # via tensorstore, the train loop keeps stepping during the
+            # write. Layout: {run_dir}/orbax/{step}/{model,ema_{rate},opt}.
+            if self._orbax is None:
+                self._orbax = ckpt.OrbaxCheckpointer(
+                    os.path.join(out_dir, "orbax")
+                )
+            if pdist.is_primary():
+                logger.log(f"saving model at step {step} (orbax, async)...")
+            tree = {
+                "model": self.params,
+                **{
+                    f"ema_{rate}": ema
+                    for rate, ema in zip(self.ema_rate, self.ema_params)
+                },
+                "opt": self.opt_state,
+            }
+            self._orbax.save(step, tree)
+            return
         # gather_to_host is a COLLECTIVE when state is sharded across
         # processes (FSDP on a multi-host mesh): every process participates
         # in the all-gather; only the primary writes the files. On a single

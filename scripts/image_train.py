@@ -102,6 +102,7 @@ def main():
         val_batch_size=args.val_batch_size,
         profile_dir=args.profile_dir,
         param_sharding=args.param_sharding,
+        ckpt_backend=args.ckpt_backend,
     ).run_loop()
 
 
@@ -114,6 +115,7 @@ def create_argparser():
         main_path="",
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here
         param_sharding="replicated",  # "fsdp" shards params/opt/EMA over the data axis
+        ckpt_backend="flax",  # "orbax": async + natively sharded saves
         schedule_sampler="uniform",
         lr=1e-4,
         weight_decay=0.0,

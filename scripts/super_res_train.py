@@ -114,6 +114,7 @@ def main():
         weight_decay=args.weight_decay,
         lr_anneal_steps=args.lr_anneal_steps,
         param_sharding=args.param_sharding,
+        ckpt_backend=args.ckpt_backend,
     ).run_loop()
 
 
@@ -135,6 +136,7 @@ def create_argparser():
         use_fp16=False,
         fp16_scale_growth=1e-3,
         param_sharding="replicated",
+        ckpt_backend="flax",  # "orbax": async + natively sharded saves
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

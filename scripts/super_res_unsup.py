@@ -106,6 +106,7 @@ def main():
         val_datasets=val_datasets or None,
         val_batch_size=args.val_batch_size,
         param_sharding=args.param_sharding,
+        ckpt_backend=args.ckpt_backend,
     ).run_loop()
 
 
@@ -129,6 +130,7 @@ def create_argparser():
         use_fp16=False,
         fp16_scale_growth=1e-3,
         param_sharding="replicated",
+        ckpt_backend="flax",  # "orbax": async + natively sharded saves
         # fork extras (super_res_unsup.py:148-149)
         SR_mode=True,
         resume_ema_opt=False,

@@ -18,3 +18,63 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.asarray(tree["a"]))
     np.testing.assert_array_equal(np.asarray(restored["b"]["c"]), np.asarray(tree["b"]["c"]))
     ck.close()
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_trainloop_orbax_backend_save_resume(tmp_path):
+    """ckpt_backend='orbax': async save during training, resume from the
+    orbax run dir restores model/EMA/opt at the latest step."""
+    import jax
+    import numpy as np
+
+    from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
+    from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
+    from guided_diffusion_clip_tpu.utils import logger
+    from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
+
+    logger.configure_dir(dir=str(tmp_path), format_strs=[])
+    cfg = UNetConfig(
+        image_size=8, in_channels=3, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1,),
+        num_heads=1, use_scale_shift_norm=True,
+    )
+    model = UNetModel(config=cfg)
+    diffusion = create_gaussian_diffusion(steps=10, noise_schedule="cosine")
+
+    def data_gen():
+        while True:
+            yield np.zeros((4, 8, 8, 3), np.float32), {}
+
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+        microbatch=-1, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0, ckpt_backend="orbax",
+    )
+    for _ in range(2):
+        b, c = next(loop.data)
+        loop.run_step(b, c)
+        loop.step += 1
+    loop.flush_metrics()
+    loop.save()
+    loop._orbax.wait()
+
+    orbax_dir = str(tmp_path / "orbax")
+    loop2 = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+        microbatch=-1, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0, resume_checkpoint=orbax_dir,
+    )
+    assert loop2.resume_step == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(loop.params)),
+        jax.tree_util.tree_leaves(jax.device_get(loop2.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(loop.ema_params[0])),
+        jax.tree_util.tree_leaves(jax.device_get(loop2.ema_params[0])),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,195 @@
+"""Chain-level int8-vs-bf16 quality evidence on a TRAINED model.
+
+The int8 deployment path was previously bounded only per-step at full 256px
+scale (tools/int8_quality_check.py: UNet output corr 0.99975, guidance grad
+corr 0.999972). A 250-step chain can amplify per-step deviation nonlinearly;
+this tool closes that gap with a distribution-level, full-chain experiment
+that needs no external weights (reference quality bar: the FID workflow in
+evaluations/README.md:56-70):
+
+  1. train a small ADM UNet to convergence-ish on a structured synthetic
+     dataset (smooth colored blobs — learnable in a few hundred steps),
+  2. sample N full ancestral chains from IDENTICAL seeds with bf16 convs
+     and with int8 convs (the deployment fast path),
+  3. compare per-sample (corr / rel-RMSE in pixel space) and per-set
+     (Frechet distance on the evaluator's feature extractor, against the
+     seed-resampling noise floor FID(bf16_A, bf16_B)).
+
+Run on CPU (JAX_PLATFORMS=cpu; int8 XLA convs are platform-independent
+numerics) or on the chip. Prints one JSON line; numbers recorded in
+ROUND_NOTES.md.
+
+Env knobs: INT8Q_TRAIN_STEPS (400), INT8Q_SAMPLES (64), INT8Q_IMAGE (16),
+INT8Q_DIFFUSION_STEPS (100).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
+from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
+from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
+
+
+def make_blob_batch(rs: np.random.RandomState, n: int, size: int) -> np.ndarray:
+    """Smooth colored 2-blob images in [-1, 1] — structured and learnable."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    out = np.empty((n, size, size, 3), np.float32)
+    for i in range(n):
+        img = np.zeros((size, size, 3), np.float32)
+        for _ in range(2):
+            cx, cy = rs.uniform(0.2, 0.8, 2)
+            s = rs.uniform(0.08, 0.25)
+            color = rs.uniform(-1, 1, 3)
+            g = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+            img += g[..., None] * color[None, None, :]
+        out[i] = np.clip(img, -1, 1)
+    return out
+
+
+def main():
+    t0 = time.time()
+    train_steps = int(os.environ.get("INT8Q_TRAIN_STEPS", 400))
+    n_samples = int(os.environ.get("INT8Q_SAMPLES", 64))  # 2 chain batches/set
+    size = int(os.environ.get("INT8Q_IMAGE", 16))
+    T = int(os.environ.get("INT8Q_DIFFUSION_STEPS", 100))
+    B = 32
+
+    logger.configure_dir(dir="/tmp/int8_chain_quality", format_strs=[])
+    set_conv_impl("xla")  # training is bf16
+
+    cfg = UNetConfig(
+        image_size=size, in_channels=3, model_channels=64, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+        num_heads=2, use_scale_shift_norm=True,
+    )
+    # Train in f32: XLA:CPU emulates bf16 (~30x slower); params are f32
+    # either way. Sampling then runs a bf16-torso model over the SAME params
+    # — the production params-f32 / compute-bf16 relationship.
+    model = UNetModel(config=cfg, dtype=jnp.float32)
+    model_bf16 = UNetModel(config=cfg, dtype=jnp.bfloat16)
+    diffusion = create_gaussian_diffusion(steps=T, noise_schedule="cosine")
+
+    rs = np.random.RandomState(0)
+
+    def data_gen():
+        while True:
+            yield make_blob_batch(rs, B, size), {}
+
+    print(f"[int8q +{time.time()-t0:.0f}s] building TrainLoop", file=sys.stderr, flush=True)
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=B,
+        microbatch=-1, lr=2e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0,
+    )
+    for i in range(train_steps):
+        b, c = next(loop.data)
+        loop.run_step(b, c)
+        loop.step += 1
+        if i % 50 == 0:
+            print(f"[int8q +{time.time()-t0:.0f}s] train step {i}", file=sys.stderr, flush=True)
+    loop.flush_metrics()
+    # quick learning check via one extra step's metrics
+    print(
+        f"[int8q +{time.time()-t0:.0f}s] trained {train_steps} steps",
+        file=sys.stderr, flush=True,
+    )
+    ema = loop.ema_params[0]
+
+    shape = (B, size, size, 3)
+
+    def make_chain():
+        """Fresh jit under the CURRENT conv impl (read at trace time)."""
+
+        @jax.jit
+        def chain(params, key):
+            def model_fn(x, t, **kw):
+                return model_bf16.apply({"params": params}, x, t, **kw)
+
+            return diffusion.p_sample_loop(model_fn, shape, key)
+
+        return chain
+
+    chains = {}
+
+    def sample_set(mode: str, seed0: int) -> np.ndarray:
+        set_conv_impl(mode)
+        if mode not in chains:
+            chains[mode] = make_chain()  # one compile per conv impl
+        chain = chains[mode]
+        outs = []
+        for i in range(-(-n_samples // B)):
+            outs.append(np.asarray(chain(ema, jax.random.key(seed0 + i))))
+        return np.concatenate(outs)[:n_samples]
+
+    bf16_a = sample_set("xla", 100)
+    print(f"[int8q +{time.time()-t0:.0f}s] bf16 set A sampled", file=sys.stderr, flush=True)
+    int8_a = sample_set("int8", 100)  # SAME seeds as bf16_a
+    print(f"[int8q +{time.time()-t0:.0f}s] int8 set sampled", file=sys.stderr, flush=True)
+    bf16_b = sample_set("xla", 500)  # disjoint seeds: the noise floor
+    print(f"[int8q +{time.time()-t0:.0f}s] bf16 set B sampled", file=sys.stderr, flush=True)
+
+    # ---- per-sample, same-seed chain deviation
+    flat_b = bf16_a.reshape(n_samples, -1)
+    flat_i = int8_a.reshape(n_samples, -1)
+    corr = np.array(
+        [np.corrcoef(flat_b[i], flat_i[i])[0, 1] for i in range(n_samples)]
+    )
+    rel_rmse = np.sqrt(((flat_b - flat_i) ** 2).mean(1)) / (flat_b.std(1) + 1e-12)
+
+    # ---- per-set Frechet distance on the evaluator's extractor
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "evaluations"))
+    from evaluations.evaluator import statistics_from_activations
+    from evaluations.inception_flax import inception_features, random_params
+
+    iparams = random_params(0)
+    feats_fn = jax.jit(
+        functools.partial(inception_features)
+    )
+
+    def feats(x_pm1: np.ndarray) -> np.ndarray:
+        u8 = ((x_pm1 + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        pool, _ = feats_fn(iparams, jnp.asarray(u8, jnp.float32))
+        return np.asarray(pool)
+
+    set_conv_impl("xla")
+    f_bf_a, f_int, f_bf_b = feats(bf16_a), feats(int8_a), feats(bf16_b)
+    fid_int = statistics_from_activations(f_bf_a).frechet_distance(
+        statistics_from_activations(f_int)
+    )
+    fid_floor = statistics_from_activations(f_bf_a).frechet_distance(
+        statistics_from_activations(f_bf_b)
+    )
+
+    result = {
+        "config": f"{size}px ch64 ADM UNet, {T}-step ancestral chain, "
+                  f"{train_steps} train steps, {n_samples} samples/set",
+        "same_seed_pixel_corr_mean": round(float(corr.mean()), 6),
+        "same_seed_pixel_corr_min": round(float(corr.min()), 6),
+        "same_seed_rel_rmse_mean": round(float(rel_rmse.mean()), 5),
+        "same_seed_rel_rmse_max": round(float(rel_rmse.max()), 5),
+        "set_frechet_int8_vs_bf16": round(float(fid_int), 6),
+        "set_frechet_noise_floor_bf16_vs_bf16": round(float(fid_floor), 6),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
