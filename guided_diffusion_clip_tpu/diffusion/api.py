@@ -92,6 +92,20 @@ class Diffusion:
             model_kwargs=model_kwargs,
         )
 
+    def dpm_solver_pp_2m_loop(
+        self, model_fn, shape, rng, *, noise=None, init_image=None,
+        clip_denoised=True, denoised_fn=None, cond_fn=None, model_kwargs=None,
+        denoise_start_point=-1,
+    ):
+        """Second-order multistep ODE sampler (DPM-Solver++ 2M) — better
+        quality than DDIM at 10-25 steps; beyond-reference capability."""
+        cfg = self._cfg(clip_denoised, denoise_start_point=denoise_start_point)
+        return S.dpm_solver_pp_2m_loop(
+            self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
+            init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
+            model_kwargs=model_kwargs,
+        )
+
     def ddim_reverse_loop(self, model_fn, x0, *, clip_denoised=True, model_kwargs=None):
         """Deterministically encode x_0 -> x_T (reference ddim_reverse_sample
         :596-632 iterated forward)."""

@@ -334,6 +334,94 @@ def sample_chain_segment_dyn(
     return final
 
 
+def dpm_solver_pp_2m_loop(
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    shape,
+    rng,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+    noise=None,
+    init_image=None,
+    cond_fn: Callable | None = None,
+    denoised_fn: Callable | None = None,
+    model_kwargs: dict | None = None,
+):
+    """DPM-Solver++(2M) sampling chain as one scan.
+
+    Beyond-reference capability (the reference has only ancestral and DDIM,
+    gaussian_diffusion.py:441/634): a second-order multistep ODE solver in
+    data-prediction form (Lu et al. 2022, arXiv:2211.01095, Algorithm 2) —
+    markedly better sample quality than DDIM at 10-25 steps for the same
+    model. Runs on the (respaced) discrete grid: per step t -> t_prev,
+
+        h_i   = lambda(t_prev) - lambda(t),  lambda = log(alpha/sigma)
+        r_i   = h_{i-1} / h_i
+        D_i   = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1}   (first step: x0_i)
+        x     = (sigma_prev / sigma_t) x - alpha_prev * expm1(-h_i) * D_i
+
+    The final step (t == 0, sigma_prev = 0, h -> inf) uses the first-order
+    update, which reduces to returning the predicted x0 — the standard
+    `lower_order_final` practice. Classifier/CLIP guidance composes exactly
+    like the DDIM path (condition_score shifts eps before x0 is derived).
+    Deterministic given the init noise; `rng` only seeds x_T.
+    """
+    rng, init_rng = jax.random.split(rng)
+    img, t_start = _start_state(sched, cfg, shape, init_rng, noise=noise, init_image=init_image)
+    timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
+    nd = len(shape)
+
+    def x0_of(x, t):
+        out = G.p_mean_variance(
+            sched, model_fn, x, t,
+            mean_type=cfg.mean_type, var_type=cfg.var_type,
+            clip_denoised=cfg.clip_denoised, denoised_fn=denoised_fn,
+            model_kwargs=model_kwargs,
+        )
+        if cond_fn is not None:
+            out = G.condition_score(sched, cond_fn, out, x, t, model_kwargs=model_kwargs)
+        return out.pred_xstart
+
+    def lam(ab):
+        return 0.5 * (jnp.log(ab) - jnp.log1p(-ab))
+
+    def body(carry, t_scalar):
+        x, x0_prev, h_prev, has_prev = carry
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        x0 = x0_of(x, t)
+
+        ab_t = G._extract(sched.alphas_cumprod, t, nd)
+        ab_prev = G._extract(sched.alphas_cumprod_prev, t, nd)
+        # guard ab_prev == 1 (t == 0): lambda diverges; that branch returns
+        # x0. NB 1-1e-8 rounds back to 1.0 in f32 — the clamp must exceed
+        # f32 epsilon or log1p(-ab) is -inf.
+        ab_prev_safe = jnp.minimum(ab_prev, 1.0 - 1e-6)
+        h = lam(ab_prev_safe) - lam(ab_t)
+        r = h_prev / h
+        coef = 1.0 / (2.0 * r)
+        d_2m = (1.0 + coef) * x0 - coef * x0_prev
+        d = jnp.where(has_prev > 0, d_2m, x0)
+
+        sigma_t = jnp.sqrt(1.0 - ab_t)
+        sigma_prev = jnp.sqrt(1.0 - ab_prev_safe)
+        alpha_prev = jnp.sqrt(ab_prev_safe)
+        x_next = (sigma_prev / sigma_t) * x - alpha_prev * jnp.expm1(-h) * d
+
+        # where (not an arithmetic blend): any non-finite in the unselected
+        # branch must not propagate into the final step's x0
+        x_next = jnp.where(t_scalar == 0, x0, x_next)
+        return (x_next, x0, h, jnp.float32(1.0)), None
+
+    init = (
+        img,
+        jnp.zeros(shape, jnp.float32),
+        jnp.full((shape[0],) + (1,) * (nd - 1), 1.0, jnp.float32),
+        jnp.float32(0.0),
+    )
+    (final, _, _, _), _ = jax.lax.scan(body, init, timesteps)
+    return final
+
+
 def ddim_reverse_loop(
     sched: DiffusionSchedule,
     model_fn: Callable,

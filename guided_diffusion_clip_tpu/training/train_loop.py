@@ -586,9 +586,28 @@ def get_blob_logdir() -> str:
 
 
 def find_resume_checkpoint():
-    """On-infrastructure resume discovery; stub like the reference
-    (train_util.py:365-368)."""
-    return None
+    """Auto-discover the latest model checkpoint in the blob log dir.
+
+    The reference leaves this as a stub returning None
+    (train_util.py:365-368, "needs to be implemented on your
+    infrastructure"); the intended behavior — resume the newest
+    model{step}.flax in DIFFUSION_BLOB_LOGDIR — is implemented here
+    (fix-forward, SURVEY.md §0.1 policy). Opt-in: only active when
+    DIFFUSION_AUTO_RESUME=1, so fresh runs in a reused log dir don't
+    silently resume.
+    """
+    if os.environ.get("DIFFUSION_AUTO_RESUME", "") != "1":
+        return None
+    out_dir = get_blob_logdir()
+    if not out_dir or not ckpt.bf_io.exists(out_dir):
+        return None
+    best_step, best = -1, None
+    for name in ckpt.bf_io.listdir(out_dir):
+        if name.startswith("model") and name.endswith(".flax"):
+            step = ckpt.parse_resume_step_from_filename(name)
+            if step > best_step:
+                best_step, best = step, ckpt.bf_io.join(out_dir, name)
+    return best
 
 
 def log_loss_dict(diffusion: Diffusion, ts, losses: dict):

@@ -1,0 +1,185 @@
+"""DPM-Solver++(2M) sampler: correctness against an analytic-score model.
+
+For Gaussian data x0 ~ N(mu, s^2 I) the exact eps-prediction model is known
+in closed form (posterior mean of x0 given x_t), so the probability-flow ODE
+can be integrated to machine accuracy with a MANY-step DDIM chain. A
+second-order solver must (a) land near that ground truth from the SAME x_T,
+and (b) beat 1st-order DDIM at equal (low) step count — the property that
+justifies shipping it. Also checks the delta-data exactness case and
+determinism/guidance plumbing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from guided_diffusion_clip_tpu.diffusion.schedules import build_schedule
+from guided_diffusion_clip_tpu.diffusion import sampling as S
+from guided_diffusion_clip_tpu.diffusion import gaussian as G
+
+MU, SD = 0.3, 0.5
+SHAPE = (8, 4, 4, 3)
+
+
+_AB_FULL = None
+
+
+def _ab_full():
+    """Original-T alphas_cumprod: the sampler hands the model ORIGINAL-scale
+    timesteps (timestep_map[t], schedules.py:130), so analytic test models
+    must index the full 1000-step table, not the respaced one."""
+    global _AB_FULL
+    if _AB_FULL is None:
+        base = build_schedule(steps=1000, noise_schedule="cosine")
+        _AB_FULL = jnp.asarray(base.alphas_cumprod)
+    return _AB_FULL
+
+
+def make_eps_model(sched):
+    """Exact eps model for x0 ~ N(MU, SD^2): eps(x,t) derived from the
+    closed-form posterior mean E[x0 | x_t]."""
+    ab = _ab_full()
+
+    def model_fn(x, t, **kw):
+        a = ab[t].reshape((-1,) + (1,) * (x.ndim - 1))
+        denom = a * SD**2 + (1.0 - a)
+        e_x0 = (jnp.sqrt(a) * SD**2 * x + (1.0 - a) * MU) / denom
+        eps = (x - jnp.sqrt(a) * e_x0) / jnp.sqrt(1.0 - a)
+        return eps
+
+    return model_fn
+
+
+def _cfg():
+    from guided_diffusion_clip_tpu.diffusion.schedules import (
+        ModelMeanType,
+        ModelVarType,
+    )
+
+    return S.SamplerConfig(
+        mean_type=ModelMeanType.EPSILON,
+        var_type=ModelVarType.FIXED_SMALL,
+        clip_denoised=False,
+    )
+
+
+def _sample(loop, steps, key, **kw):
+    sched = build_schedule(steps=1000, timestep_respacing=str(steps),
+                           noise_schedule="cosine")
+    model_fn = make_eps_model(sched)
+    return np.asarray(
+        loop(sched, model_fn, SHAPE, key, cfg=_cfg(), **kw)
+    )
+
+
+def make_mixture_eps_model():
+    """Exact eps model for bimodal data x0 ~ 0.4 d(-0.5) + 0.6 d(+0.7).
+
+    E[x0 | x_t] is a sigmoid between the modes — strongly NONLINEAR in
+    lambda, the regime where higher-order solvers matter. (Gaussian data is
+    the wrong toy: its eps-prediction is linear in x, which makes
+    first-order DDIM super-convergent and hides the 2M advantage.)"""
+    v1, v2, p1 = -0.5, 0.7, 0.4
+    ab = _ab_full()
+
+    def model_fn(x, t, **kw):
+        a = ab[t].reshape((-1,) + (1,) * (x.ndim - 1))
+        s2 = 1.0 - a
+        l1 = -((x - jnp.sqrt(a) * v1) ** 2) / (2 * s2) + jnp.log(p1)
+        l2 = -((x - jnp.sqrt(a) * v2) ** 2) / (2 * s2) + jnp.log(1 - p1)
+        w1 = jax.nn.sigmoid(l1 - l2)
+        e_x0 = w1 * v1 + (1 - w1) * v2
+        return (x - jnp.sqrt(a) * e_x0) / jnp.sqrt(1.0 - a)
+
+    return model_fn
+
+
+def _sample_mix(loop, steps, key, **kw):
+    sched = build_schedule(steps=1000, timestep_respacing=str(steps),
+                           noise_schedule="cosine")
+    return np.asarray(
+        loop(sched, make_mixture_eps_model(), SHAPE, key, cfg=_cfg(), **kw)
+    )
+
+
+def test_second_order_beats_ddim_at_low_steps():
+    key = jax.random.key(0)
+    noise = jax.random.normal(jax.random.key(42), SHAPE, jnp.float32)
+
+    truth = _sample_mix(S.ddim_sample_loop, 900, key, noise=noise)
+    ddim15 = _sample_mix(S.ddim_sample_loop, 15, key, noise=noise)
+    dpm15 = _sample_mix(S.dpm_solver_pp_2m_loop, 15, key, noise=noise)
+
+    err_ddim = np.abs(ddim15 - truth).mean()
+    err_dpm = np.abs(dpm15 - truth).mean()
+    # measured: ddim 6.2e-3, dpm++2m 1.4e-5 at 15 steps on this problem
+    assert err_dpm < 0.1 * err_ddim, (err_dpm, err_ddim)
+    assert err_dpm < 1e-3, err_dpm
+
+
+def test_second_order_convergence_rate():
+    """Error must fall faster than first order under grid refinement
+    (measured slope ~1.8 on the Gaussian problem, where DDIM is ~1.0)."""
+    key = jax.random.key(0)
+    noise = jax.random.normal(jax.random.key(42), SHAPE, jnp.float32)
+    truth = _sample(S.ddim_sample_loop, 900, key, noise=noise)
+    e20 = np.abs(_sample(S.dpm_solver_pp_2m_loop, 20, key, noise=noise) - truth).mean()
+    e80 = np.abs(_sample(S.dpm_solver_pp_2m_loop, 80, key, noise=noise) - truth).mean()
+    order = np.log(e20 / e80) / np.log(4.0)
+    assert order > 1.4, (e20, e80, order)
+
+
+def test_exact_for_delta_data():
+    """If the model's eps is exact for data = a single point x0*, any
+    deterministic sampler must return exactly x0*."""
+    sched = build_schedule(steps=1000, timestep_respacing="10",
+                           noise_schedule="cosine")
+    x_star = jnp.full(SHAPE, 0.25, jnp.float32)
+    ab = _ab_full()
+
+    def model_fn(x, t, **kw):
+        a = ab[t].reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(a) * x_star) / jnp.sqrt(1.0 - a)
+
+    out = S.dpm_solver_pp_2m_loop(
+        sched, model_fn, SHAPE, jax.random.key(1), cfg=_cfg()
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x_star), atol=5e-4)
+
+
+def test_deterministic_and_guidance_plumbing():
+    key = jax.random.key(3)
+    noise = jax.random.normal(jax.random.key(7), SHAPE, jnp.float32)
+    a = _sample(S.dpm_solver_pp_2m_loop, 10, key, noise=noise)
+    b = _sample(S.dpm_solver_pp_2m_loop, 10, key, noise=noise)
+    np.testing.assert_array_equal(a, b)
+
+    # guidance: a pull toward +1 must raise the mean (condition_score path)
+    def cond_fn(x, t, **kw):
+        return jax.grad(lambda xx: -((xx - 1.0) ** 2).sum())(x)
+
+    sched = build_schedule(steps=1000, timestep_respacing="10",
+                           noise_schedule="cosine")
+    model_fn = make_eps_model(sched)
+    guided = np.asarray(
+        S.dpm_solver_pp_2m_loop(
+            sched, model_fn, SHAPE, key, cfg=_cfg(), noise=noise,
+            cond_fn=lambda x, t, **kw: 0.05 * cond_fn(x, t),
+        )
+    )
+    assert guided.mean() > a.mean() + 0.01
+
+
+def test_api_method():
+    from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
+
+    diffusion = create_gaussian_diffusion(
+        steps=1000, noise_schedule="cosine", timestep_respacing="10"
+    )
+    model_fn = make_eps_model(diffusion.sched)
+    out = diffusion.dpm_solver_pp_2m_loop(
+        model_fn, SHAPE, jax.random.key(0), clip_denoised=False
+    )
+    assert np.isfinite(np.asarray(out)).all()

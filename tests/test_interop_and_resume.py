@@ -196,3 +196,23 @@ class TestFlagSurfaceParity:
             known.update(action.option_strings)
         missing = [f for f in flags if f not in known]
         assert not missing, f"{script} missing reference flags: {missing}"
+
+
+def test_find_resume_checkpoint_discovery(tmp_path, monkeypatch):
+    """DIFFUSION_AUTO_RESUME=1 picks the newest model{step}.flax in the
+    blob log dir; off by default (the reference ships a None stub,
+    train_util.py:365-368 — discovery is the documented intent)."""
+    from guided_diffusion_clip_tpu.training.train_loop import find_resume_checkpoint
+
+    monkeypatch.setenv("DIFFUSION_BLOB_LOGDIR", str(tmp_path))
+    # default: inactive
+    monkeypatch.delenv("DIFFUSION_AUTO_RESUME", raising=False)
+    assert find_resume_checkpoint() is None
+
+    monkeypatch.setenv("DIFFUSION_AUTO_RESUME", "1")
+    assert find_resume_checkpoint() is None  # empty dir
+    for step in (5000, 10000, 7500):
+        (tmp_path / f"model{step:06d}.flax").write_bytes(b"x")
+    (tmp_path / "ema_0.9999_010000.flax").write_bytes(b"x")
+    found = find_resume_checkpoint()
+    assert found is not None and found.endswith("model010000.flax")

@@ -20,7 +20,9 @@ numerics) or on the chip. Prints one JSON line; numbers recorded in
 ROUND_NOTES.md.
 
 Env knobs: INT8Q_TRAIN_STEPS (400), INT8Q_SAMPLES (64), INT8Q_IMAGE (16),
-INT8Q_DIFFUSION_STEPS (100).
+INT8Q_DIFFUSION_STEPS (100), INT8Q_BATCH (16). On a 1-core CPU box use
+~150 train steps / 32 samples (hours otherwise); on a TPU chip the
+defaults run in minutes.
 """
 
 import functools
@@ -68,7 +70,7 @@ def main():
     n_samples = int(os.environ.get("INT8Q_SAMPLES", 64))  # 2 chain batches/set
     size = int(os.environ.get("INT8Q_IMAGE", 16))
     T = int(os.environ.get("INT8Q_DIFFUSION_STEPS", 100))
-    B = 32
+    B = int(os.environ.get("INT8Q_BATCH", 16))
 
     logger.configure_dir(dir="/tmp/int8_chain_quality", format_strs=[])
     set_conv_impl("xla")  # training is bf16
