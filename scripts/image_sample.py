@@ -93,6 +93,13 @@ def main():
         logger.log(f"denoise_start_point {args.denoise_start_point} -> respaced step {dsp}")
 
     loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
+    if getattr(args, "sampler", ""):
+        # beyond-reference sampler selection; --use_ddim keeps working
+        loop = {
+            "ancestral": diffusion.p_sample_loop,
+            "ddim": diffusion.ddim_sample_loop,
+            "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
+        }[args.sampler]
 
     # One jitted program for the entire denoise chain (eager dispatch is
     # pathologically slow on remote-attached TPUs); params travel as jit
@@ -179,7 +186,7 @@ def create_argparser():
         f="",
         seed=0,
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
-
+        sampler="",  # ""(use_ddim decides)|ancestral|ddim|dpm++2m
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here
     )
     defaults.update(model_and_diffusion_defaults())
