@@ -12,6 +12,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()  # JAX_PLATFORMS env alone cannot override the axon hook
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,6 +14,13 @@ import json
 import os
 import subprocess
 import sys
+
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()  # JAX_PLATFORMS env alone cannot override the axon hook
+
 import time
 
 SHAPES = [

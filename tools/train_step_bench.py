@@ -5,7 +5,11 @@ reference README 64px ADM config with synthetic data — the single-chip
 data point behind the v5e-16 training-config claim in BASELINE.md.
 
 Usage: python tools/train_step_bench.py
-Env: TSB_BATCH (32), TSB_MICRO (16), TSB_IMAGE_SIZE (64), TSB_REPEATS (5)
+Env: TSB_BATCH (32), TSB_MICRO (16), TSB_IMAGE_SIZE (64), TSB_REPEATS (5),
+TSB_CONFIG (readme64 | fork128). fork128 = the fork's ACTUAL training
+recipe (reference config.yaml:28-32: 128px FFHQ, ch64, 2 res blocks,
+1 head, batch 48, CLIP-embedding conditioning via the clip_feat MLP) —
+the configuration the 128px training claim must be measured at.
 """
 
 import os
@@ -13,6 +17,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()  # JAX_PLATFORMS env alone cannot override the axon hook
+
 
 import jax
 import jax.numpy as jnp
@@ -26,19 +35,36 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 
 
 def main():
-    B = int(os.environ.get("TSB_BATCH", 32))
+    config = os.environ.get("TSB_CONFIG", "readme64")
+    B = int(os.environ.get("TSB_BATCH", 48 if config == "fork128" else 32))
     micro = int(os.environ.get("TSB_MICRO", 16))
-    size = int(os.environ.get("TSB_IMAGE_SIZE", 64))
+    size = int(os.environ.get("TSB_IMAGE_SIZE", 128 if config == "fork128" else 64))
     repeats = int(os.environ.get("TSB_REPEATS", 5))
 
-    # README 64px training config (reference README.md:151-156)
-    model = create_upstream_model(
-        image_size=size, num_channels=192, num_res_blocks=3, channel_mult="",
-        learn_sigma=True, class_cond=True, use_checkpoint=False,
-        attention_resolutions="32,16,8", num_heads=4, num_head_channels=64,
-        num_heads_upsample=-1, use_scale_shift_norm=True, dropout=float(os.environ.get("TSB_DROPOUT", 0.1)),
-        resblock_updown=True, use_fp16=True, use_new_attention_order=True,
-    )
+    if config == "fork128":
+        # the fork's actual recipe (reference config.yaml:28-32): 128px FFHQ,
+        # CLIP-embedding conditioning through the clip_feat MLP label-emb
+        from guided_diffusion_clip_tpu.utils.script_util import create_model
+
+        model = create_model(
+            image_size=size, num_channels=64, num_res_blocks=2,
+            learn_sigma=True, class_cond=True, use_checkpoint=False,
+            attention_resolutions="16,8", num_heads=1, num_head_channels=-1,
+            num_heads_upsample=-1, use_scale_shift_norm=True,
+            dropout=float(os.environ.get("TSB_DROPOUT", 0.0)),
+            use_fp16=True,
+        )
+        cond_key, cond_fill = "clip_feat", lambda rs: rs.randn(B, 512).astype(np.float32)
+    else:
+        # README 64px training config (reference README.md:151-156)
+        model = create_upstream_model(
+            image_size=size, num_channels=192, num_res_blocks=3, channel_mult="",
+            learn_sigma=True, class_cond=True, use_checkpoint=False,
+            attention_resolutions="32,16,8", num_heads=4, num_head_channels=64,
+            num_heads_upsample=-1, use_scale_shift_norm=True, dropout=float(os.environ.get("TSB_DROPOUT", 0.1)),
+            resblock_updown=True, use_fp16=True, use_new_attention_order=True,
+        )
+        cond_key, cond_fill = "y", lambda rs: rs.randint(0, 1000, (B,)).astype(np.int64)
     diffusion = create_gaussian_diffusion(
         steps=1000, learn_sigma=True, noise_schedule="cosine",
     )
@@ -49,7 +75,7 @@ def main():
     def data_iter():
         while True:
             x = rs.randn(*shape).astype(np.float32)
-            yield x, {"y": rs.randint(0, 1000, (B,)).astype(np.int64)}
+            yield x, {cond_key: cond_fill(rs)}
 
     init_params = jax.device_put(
         jax.tree_util.tree_map(
@@ -57,7 +83,11 @@ def main():
             jax.eval_shape(
                 lambda: model.init(
                     jax.random.key(0), jnp.zeros(shape), jnp.zeros((B,)),
-                    y=jnp.zeros((B,), jnp.int32),
+                    **(
+                        {"clip_feat": jnp.zeros((B, 512))}
+                        if cond_key == "clip_feat"
+                        else {"y": jnp.zeros((B,), jnp.int32)}
+                    ),
                 )
             ),
         )
@@ -92,8 +122,13 @@ def main():
     best = min(times)
     import json
 
+    desc = (
+        f"{size}px fork recipe (ch64, clip_feat cond)"
+        if config == "fork128"
+        else f"{size}px ADM 192ch"
+    )
     print(json.dumps({
-        "config": f"{size}px ADM 192ch train step, batch {B} (micro {micro}), bf16",
+        "config": f"{desc} train step, batch {B} (micro {micro}), bf16",
         "ms_per_step": round(best * 1000, 1),
         "samples_per_sec_per_chip": round(B / best, 2),
         "compile_sec": round(compile_s, 1),
