@@ -232,6 +232,35 @@ def _spread_within(length: int, count: int):
     return out
 
 
+def lambda_uniform_subset(base_betas: np.ndarray, want: int) -> set:
+    """Pick `want` original timesteps whose log-SNR (lambda = log(alpha/
+    sigma)) values are as uniform as possible — the natural grid for
+    exponential-integrator samplers (DPM-Solver++). Beyond-reference
+    capability: the reference only spaces by INDEX (respace.py:7-60), which
+    concentrates lambda steps badly on cosine schedules at low step counts.
+
+    Greedy monotone nearest-index assignment: targets ascend from
+    lambda[T-1] (noisiest) to lambda[0] (cleanest); each picks the nearest
+    remaining index below the previous pick, guaranteeing a strictly
+    decreasing (unique) timestep sequence that includes both endpoints.
+    """
+    tables = _tables_from_betas(np.asarray(base_betas, dtype=np.float64))
+    ab = tables["alphas_cumprod"]
+    lam = 0.5 * (np.log(ab) - np.log1p(-ab))  # decreasing in t
+    if want < 2 or want > len(lam):
+        raise ValueError(f"lambda grid needs 2 <= N <= {len(lam)}, got {want}")
+    targets = np.linspace(lam[-1], lam[0], want)  # ascending lambda
+    chosen: list[int] = []
+    prev = len(lam)  # exclusive upper bound; picks descend in t
+    for tgt in targets:
+        if prev == 0:
+            break
+        i = int(np.argmin(np.abs(lam[:prev] - tgt)))
+        chosen.append(i)
+        prev = i
+    return set(chosen)
+
+
 def space_timesteps(num_timesteps: int, section_counts) -> set:
     """Pick a subset of original timesteps (reference respace.py:7-60).
 
@@ -301,7 +330,12 @@ def build_schedule(
     betas = get_named_beta_schedule(noise_schedule, steps)
     if not timestep_respacing:
         timestep_respacing = [steps]
-    use = space_timesteps(steps, timestep_respacing)
+    if isinstance(timestep_respacing, str) and timestep_respacing.startswith("lambda"):
+        # "lambdaN": log-SNR-uniform grid (needs the schedule itself, so it
+        # is resolved here rather than in index-only space_timesteps)
+        use = lambda_uniform_subset(betas, int(timestep_respacing[6:]))
+    else:
+        use = space_timesteps(steps, timestep_respacing)
     return respaced_schedule(
         betas, use, rescale_timesteps=rescale_timesteps, dtype=dtype
     )

@@ -183,3 +183,60 @@ def test_api_method():
         model_fn, SHAPE, jax.random.key(0), clip_denoised=False
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lambda_uniform_grid():
+    """'lambdaN' respacing: valid unique grid, endpoints included, log-SNR
+    spacing far more uniform than index spacing on a cosine schedule."""
+    from guided_diffusion_clip_tpu.diffusion.schedules import (
+        get_named_beta_schedule,
+        lambda_uniform_subset,
+    )
+
+    betas = get_named_beta_schedule("cosine", 1000)
+    grid = sorted(lambda_uniform_subset(betas, 15))
+    assert len(grid) == 15 and grid[0] == 0 and grid[-1] == 999
+
+    ab = np.cumprod(1 - betas)
+    lam = 0.5 * (np.log(ab) - np.log1p(-ab))
+    gaps = np.abs(np.diff(lam[np.array(grid)]))
+    idx_grid = sorted(
+        __import__(
+            "guided_diffusion_clip_tpu.diffusion.schedules",
+            fromlist=["space_timesteps"],
+        ).space_timesteps(1000, "15")
+    )
+    idx_gaps = np.abs(np.diff(lam[np.array(idx_grid)]))
+    # index spacing has a huge terminal lambda jump on cosine; lambda grid
+    # flattens it by design
+    assert gaps.max() < 0.5 * idx_gaps.max(), (gaps.max(), idx_gaps.max())
+
+    sched = build_schedule(
+        steps=1000, timestep_respacing="lambda15", noise_schedule="cosine"
+    )
+    assert sched.num_timesteps == 15
+
+
+def test_dpm_on_lambda_grid_beats_index_grid_at_10_steps():
+    """The 10-step regime where the index grid hurt DPM++(2M): the lambda
+    grid fixes it. Measured (Gaussian analytic model, cosine schedule):
+    dpm idx10 0.110 -> dpm lambda10 0.004, vs best ddim 0.059. (The bimodal
+    toy is NOT used here: at coarse grids its error is a discrete
+    basin-flip counter, not an ODE accuracy measure.)"""
+    key = jax.random.key(0)
+    noise = jax.random.normal(jax.random.key(42), SHAPE, jnp.float32)
+    cfg = _cfg()
+
+    def samp(loop, respace):
+        sched = build_schedule(steps=1000, timestep_respacing=respace,
+                               noise_schedule="cosine")
+        return np.asarray(
+            loop(sched, make_eps_model(sched), SHAPE, key, cfg=cfg, noise=noise)
+        )
+
+    truth = samp(S.ddim_sample_loop, "900")
+    e_dpm_idx = np.abs(samp(S.dpm_solver_pp_2m_loop, "10") - truth).mean()
+    e_dpm_lam = np.abs(samp(S.dpm_solver_pp_2m_loop, "lambda10") - truth).mean()
+    e_ddim_idx = np.abs(samp(S.ddim_sample_loop, "10") - truth).mean()
+    assert e_dpm_lam < 0.2 * e_dpm_idx, (e_dpm_lam, e_dpm_idx)
+    assert e_dpm_lam < 0.2 * e_ddim_idx, (e_dpm_lam, e_ddim_idx)
