@@ -24,6 +24,8 @@ import optax
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.parallel.mesh import (
+    data_sharding,
+    host_local_part,
     constrain_tree,
     create_data_mesh,
     fsdp_sharding_tree,
@@ -89,10 +91,15 @@ def main():
         else None
     )
 
-    B = args.batch_size
-    mesh = create_data_mesh(B)
+    B = args.batch_size  # per-process, like the reference's per-rank batch
+    world = max(1, jax.process_count())
+    mesh = create_data_mesh(B * world)
     shape = (B, args.image_size, args.image_size, 3)
-    params = model.init(jax.random.key(0), jnp.zeros(shape), jnp.zeros((B,)))["params"]
+    # jitted init: unjitted flax init dispatches op-by-op (pathological on
+    # remote-compile TPU toolchains, ~100s even for small models)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros(shape), jnp.zeros((B,))
+    )["params"]
     resume_step = 0
     if args.resume_checkpoint:
         resume_step = ckpt.parse_resume_step_from_filename(args.resume_checkpoint)
@@ -119,6 +126,8 @@ def main():
 
     micro = args.microbatch if args.microbatch > 0 else B
     n_micro = B // micro
+    micro_g = micro * world  # the jitted step sees the GLOBAL batch
+    B_g = B * world
     noised = args.noised
 
     def loss_of_microbatch(p, x, y, t, rng):
@@ -129,11 +138,11 @@ def main():
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
         # microbatch scaling len(sub)/len(batch) (classifier_train.py:136):
         # accumulated microbatch grads then sum to the full-batch mean.
-        return ce.mean() * (micro / B), (ce, logits)
+        return ce.mean() * (micro / B), (ce, logits)  # micro/B == micro_g/B_g
 
     def train_step(p, o, batch, labels, t, rng):
         def split(x):
-            return x.reshape((n_micro, micro) + x.shape[1:])
+            return x.reshape((n_micro, micro_g) + x.shape[1:])
 
         xs, ys, ts = split(batch), split(labels), split(t)
         rngs = jax.random.split(rng, n_micro)
@@ -155,11 +164,17 @@ def main():
         if param_shd is not None:
             p = constrain_tree(p, param_shd)
             o = constrain_tree(o, opt_shd)
-        return p, o, ces.reshape(-1), logits.reshape((B,) + logits.shape[2:])
+        con = jax.lax.with_sharding_constraint
+        vec_shd = data_sharding(mesh)
+        ces_out = con(ces.reshape(-1), vec_shd)
+        logits_out = con(logits.reshape((B_g,) + logits.shape[2:]), vec_shd)
+        return p, o, ces_out, logits_out
 
     train_step = jax.jit(train_step, donate_argnums=(0, 1))
     eval_logits = jax.jit(
-        lambda p, x, t: model.apply({"params": p}, x, t)
+        lambda p, x, t: jax.lax.with_sharding_constraint(
+            model.apply({"params": p}, x, t), data_sharding(mesh)
+        )
     )
 
     logger.log(f"training classifier for {args.iterations} iterations...")
@@ -177,7 +192,9 @@ def main():
             return
         labels_p, ces_p, logits_p = pending
         pending = None
-        ces_np, logits_np = jax.device_get((ces_p, logits_p))
+        # each process reads back exactly ITS batch rows (aligned with the
+        # local labels by shard_batch/host_local_part construction)
+        ces_np, logits_np = host_local_part(ces_p), host_local_part(logits_p)
         logger.logkv_mean("loss", float(ces_np.mean()))
         logger.logkv_mean("acc@1", compute_top_k(logits_np, labels_p, 1))
         logger.logkv_mean("acc@5", compute_top_k(logits_np, labels_p, 5))
@@ -203,7 +220,10 @@ def main():
         if val_data is not None and not cur % args.eval_interval:
             vb, vcond = next(val_data)
             vt = np.zeros((B,), np.int32)
-            vlogits = eval_logits(params, jnp.asarray(vb), jnp.asarray(vt))
+            vlogits = host_local_part(
+                eval_logits(params, shard_batch(mesh, jnp.asarray(vb)),
+                            shard_batch(mesh, jnp.asarray(vt)))
+            )
             vce = optax.softmax_cross_entropy_with_integer_labels(
                 jnp.asarray(vlogits), jnp.asarray(vcond["y"])
             )
@@ -214,8 +234,11 @@ def main():
         if not cur % args.log_interval:
             flush_pending()  # include this step in the dump
             logger.dumpkvs()
-        if cur and pdist.is_primary() and not (cur + 1) % args.save_interval:
-            logger.log("saving model...")
+        if cur and not (cur + 1) % args.save_interval:
+            # ALL ranks enter: under multi-host FSDP the save gathers
+            # collectively (gather_to_host); only the primary writes
+            if pdist.is_primary():
+                logger.log("saving model...")
             save_model(params, opt_state, cur)
             if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                 break
@@ -223,14 +246,21 @@ def main():
     flush_pending()
     if pdist.is_primary():
         logger.log("saving final model...")
-        save_model(params, opt_state, args.iterations - 1)
+    save_model(params, opt_state, args.iterations - 1)
     pdist.barrier("classifier_train")
 
 
 def save_model(params, opt_state, step):
+    """Collective-safe: every process gathers (required when state is
+    sharded across hosts), the primary writes (train_util.py:176-182)."""
     out = get_blob_logdir()
-    ckpt.save_flax(os.path.join(out, ckpt.checkpoint_name("model", step)), params)
-    ckpt.save_flax(os.path.join(out, ckpt.checkpoint_name("opt", step)), opt_state)
+    for name, tree in (
+        (ckpt.checkpoint_name("model", step), params),
+        (ckpt.checkpoint_name("opt", step), opt_state),
+    ):
+        host_tree = ckpt.gather_to_host(tree)
+        if pdist.is_primary():
+            ckpt.save_flax(os.path.join(out, name), host_tree)
 
 
 def create_argparser():

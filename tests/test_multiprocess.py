@@ -154,3 +154,69 @@ def test_two_process_execution(tmp_path):
         assert r["fsdp_any_cross_process"] is True
         assert r["fsdp_ckpt_visible"]
         assert r["fsdp_roundtrip_maxdiff"] == 0.0
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(900)
+def test_two_process_classifier_train(tmp_path):
+    """classifier_train.py (its own loop, not TrainLoop) under 2 real JAX
+    processes: global-batch step on rank-different shards, local metric
+    reads, collective-safe rank-0 saves."""
+    import subprocess
+
+    data_dir = str(tmp_path / "data")
+    os.makedirs(data_dir)
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    for cls in ("a", "b"):
+        for i in range(4):
+            Image.fromarray(
+                rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+            ).save(os.path.join(data_dir, f"{cls}_{i}.png"))
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    port = _free_port()
+
+    procs = []
+    for i in range(WORLD):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(WORLD),
+            JAX_PROCESS_ID=str(i),
+            DIFFUSION_TRAINING_TEST="1",
+            OPENAI_LOGDIR=run_dir,
+            OPENAI_LOG_FORMAT="log",
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, os.path.join(REPO, "scripts", "classifier_train.py"),
+                    "--image_size", "64",
+                    "--classifier_width", "32",
+                    "--classifier_depth", "1",
+                    "--classifier_attention_resolutions", "8",
+                    "--classifier_pool", "adaptive",
+                    "--diffusion_steps", "40",
+                    "--noise_schedule", "cosine",
+                    "--data_dir", data_dir,
+                    "--batch_size", "2",
+                    "--iterations", "3",
+                    "--save_interval", "2",
+                    "--log_interval", "1",
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=REPO,
+            )
+        )
+    outs = [p.communicate(timeout=840)[0].decode(errors="replace") for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
+    import glob
+
+    assert glob.glob(os.path.join(run_dir, "model*.flax"))
+    # log reflects the GLOBAL sample rate (batch * world per step)
+    log = open(os.path.join(run_dir, "log.txt")).read()
+    assert "samples" in log
