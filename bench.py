@@ -201,13 +201,13 @@ def main():
     steps = diffusion.sched.num_timesteps
 
     shape = (B, image_size, image_size, 3)
-    rng = jax.random.key(0)
-    p_rng, c_rng, rng = jax.random.split(rng, 3)
+    # NB: no eager jax array creation before join_backend() — even a
+    # jax.random.key() initializes the backend and would serialize the main
+    # thread on the relay handshake, defeating the probe-thread overlap
 
     # Shape-inferred random params (perf benchmark; checkpoints load
     # identically). jax.eval_shape + host-side fill avoids TWO full XLA
     # compiles of model.init through the relay (minutes each).
-    del p_rng, c_rng
 
     def random_fill(shapes, seed):
         """Host-filled params, then device_put ONCE.

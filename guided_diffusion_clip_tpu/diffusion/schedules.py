@@ -239,26 +239,50 @@ def lambda_uniform_subset(base_betas: np.ndarray, want: int) -> set:
     capability: the reference only spaces by INDEX (respace.py:7-60), which
     concentrates lambda steps badly on cosine schedules at low step counts.
 
-    Greedy monotone nearest-index assignment: targets ascend from
-    lambda[T-1] (noisiest) to lambda[0] (cleanest); each picks the nearest
-    remaining index below the previous pick, guaranteeing a strictly
-    decreasing (unique) timestep sequence that includes both endpoints.
+    Three phases, always returning EXACTLY `want` unique indices with both
+    endpoints: (1) greedy monotone nearest-index assignment — targets ascend
+    from lambda[T-1] to lambda[0], each picking the nearest index strictly
+    below the previous pick (this placement measures best: colliding targets
+    get pushed onto adjacent discrete steps instead of dropped); (2) if the
+    greedy pass exhausted indices early (dense targets near the clean end),
+    farthest-point fill adds the unchosen index with the greatest lambda
+    distance to its nearest chosen neighbor until the count is exact;
+    (3) if forcing the endpoints overshot by one, drop the interior pick
+    whose removal least disturbs lambda uniformity.
     """
     tables = _tables_from_betas(np.asarray(base_betas, dtype=np.float64))
     ab = tables["alphas_cumprod"]
     lam = 0.5 * (np.log(ab) - np.log1p(-ab))  # decreasing in t
-    if want < 2 or want > len(lam):
-        raise ValueError(f"lambda grid needs 2 <= N <= {len(lam)}, got {want}")
-    targets = np.linspace(lam[-1], lam[0], want)  # ascending lambda
-    chosen: list[int] = []
-    prev = len(lam)  # exclusive upper bound; picks descend in t
+    n = len(lam)
+    if want < 2 or want > n:
+        raise ValueError(f"lambda grid needs 2 <= N <= {n}, got {want}")
+    targets = np.linspace(lam[-1], lam[0], want)
+    chosen: set = set()
+    prev = n  # exclusive upper bound; greedy picks descend in t
     for tgt in targets:
         if prev == 0:
             break
         i = int(np.argmin(np.abs(lam[:prev] - tgt)))
-        chosen.append(i)
+        chosen.add(i)
         prev = i
-    return set(chosen)
+    chosen.update((0, n - 1))
+    if len(chosen) < want:  # farthest-point fill into the largest gaps
+        chosen_lam = np.array(sorted(lam[i] for i in chosen))
+        dist = np.abs(lam[:, None] - chosen_lam[None, :]).min(axis=1)
+        dist[list(chosen)] = -np.inf
+        while len(chosen) < want:
+            i = int(np.argmax(dist))
+            chosen.add(i)
+            dist = np.minimum(dist, np.abs(lam - lam[i]))
+            dist[i] = -np.inf
+    while len(chosen) > want:  # endpoint forcing overshot
+        srt = sorted(chosen, key=lambda i: float(lam[i]))
+        k, _ = min(
+            ((srt[j], lam[srt[j + 1]] - lam[srt[j - 1]]) for j in range(1, len(srt) - 1)),
+            key=lambda p: p[1],
+        )
+        chosen.remove(k)
+    return chosen
 
 
 def space_timesteps(num_timesteps: int, section_counts) -> set:

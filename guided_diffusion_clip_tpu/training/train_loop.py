@@ -415,17 +415,21 @@ class TrainLoop:
         self._log_step_metrics(t_np, self._fetch_metrics(metrics), step=step)
 
     def _fetch_metrics(self, metrics):
-        """Host-fetch the metrics dict. Single-process: one device_get.
-        Multi-process: scalars are replicated (pinned in the train step);
-        per-example vecs are batch-sharded, so each process reads back its
-        own examples — aligned with its local t_np by construction
-        (see mesh.host_local_part)."""
+        """Host-fetch the metrics dict. Single-process: one device_get (the
+        measured 484->~300 ms/step batching win on remote relays).
+        Multi-process: the replicated scalars come back in one device_get;
+        the batch-sharded per-example vecs are read shard-by-shard from
+        LOCAL devices via host_local_part (local reads, not cross-host round
+        trips), aligned with this process's t_np by construction."""
         if jax.process_count() == 1:
             return jax.device_get(metrics)
-        return {
-            k: (host_local_part(v) if k.endswith("_vec") else np.asarray(v))
-            for k, v in metrics.items()
-        }
+        scalars = jax.device_get(
+            {k: v for k, v in metrics.items() if not k.endswith("_vec")}
+        )
+        scalars.update(
+            {k: host_local_part(v) for k, v in metrics.items() if k.endswith("_vec")}
+        )
+        return scalars
 
     def _log_step_metrics(self, t_np, metrics, step=None):
         step = self.step + self.resume_step if step is None else step
@@ -561,6 +565,12 @@ class TrainLoop:
             sample = chain(self.ema_params[0], sample_rng, cond)
             gathered = pdist.all_gather_host(host_local_part(sample))
             gathered = gathered.reshape((-1,) + gathered.shape[2:])
+            # gather targets the same way so the samples/targets grids
+            # correspond row-for-row under multi-process
+            targets = pdist.all_gather_host(
+                batch_host if batch_host is not None else np.asarray(batch)
+            )
+            targets = targets.reshape((-1,) + targets.shape[2:])
             if pdist.is_primary():
                 step = self.step + self.resume_step
                 out_dir = get_blob_logdir()
@@ -572,9 +582,7 @@ class TrainLoop:
                     os.path.join(out_dir, f"val_samples_{di}_{step:06d}.png"),
                 )
                 save_img(
-                    tensor2img(
-                        batch_host if batch_host is not None else np.asarray(batch)
-                    ),
+                    tensor2img(targets),
                     os.path.join(out_dir, f"val_targets_{di}_{step:06d}.png"),
                 )
         pdist.barrier("val_sample")
@@ -607,6 +615,12 @@ def find_resume_checkpoint():
             step = ckpt.parse_resume_step_from_filename(name)
             if step > best_step:
                 best_step, best = step, ckpt.bf_io.join(out_dir, name)
+    if best is None and "orbax" in ckpt.bf_io.listdir(out_dir):
+        # ckpt_backend=orbax runs keep their checkpoints under {dir}/orbax/
+        # — hand _maybe_resume the dir, which restores the latest step
+        orbax_dir = ckpt.bf_io.join(out_dir, "orbax")
+        if ckpt.bf_io.isdir(orbax_dir) and ckpt.bf_io.listdir(orbax_dir):
+            return orbax_dir
     return best
 
 

@@ -134,8 +134,13 @@ class OrbaxCheckpointer:
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
-        self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        # abspath/makedirs would mangle URL-style paths ("gs://b" ->
+        # "<cwd>/gs:/b"); orbax/tensorstore handles remote schemes natively
+        if bf_io.is_remote(directory):
+            self.directory = str(directory)
+        else:
+            self.directory = os.path.abspath(directory)
+            os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(create=True, enable_async_checkpointing=True),

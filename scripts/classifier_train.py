@@ -26,6 +26,7 @@ from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.parallel.mesh import (
     data_sharding,
     host_local_part,
+    replicated,
     constrain_tree,
     create_data_mesh,
     fsdp_sharding_tree,
@@ -141,6 +142,18 @@ def main():
         return ce.mean() * (micro / B), (ce, logits)  # micro/B == micro_g/B_g
 
     def train_step(p, o, batch, labels, t, rng):
+        # ZeRO-3 structure (same as TrainLoop): compute with params
+        # constrained REPLICATED (one hoisted all-gather) so batch-sharded
+        # activations never meet dimension-sharded weights mid-layer; grads
+        # and the optimizer state stay pinned to the FSDP spec.
+        if param_shd is not None:
+            rep = replicated(mesh)
+            compute_p = constrain_tree(
+                p, jax.tree_util.tree_map(lambda _: rep, p)
+            )
+        else:
+            compute_p = p
+
         def split(x):
             return x.reshape((n_micro, micro_g) + x.shape[1:])
 
@@ -149,7 +162,7 @@ def main():
 
         def body(acc, inp):
             x, y, tt, r = inp
-            (loss, (ce, logits)), grads = jax.value_and_grad(loss_of_microbatch, has_aux=True)(p, x, y, tt, r)
+            (loss, (ce, logits)), grads = jax.value_and_grad(loss_of_microbatch, has_aux=True)(compute_p, x, y, tt, r)
             acc = jax.tree_util.tree_map(jnp.add, acc, grads)
             if param_shd is not None:
                 acc = constrain_tree(acc, param_shd)  # reduce-scattered grads

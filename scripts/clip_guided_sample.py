@@ -143,7 +143,10 @@ def main():
         raise SystemExit("provide --text, --target_image or --target_embed")
 
     scales = [float(s) for s in str(args.clip_scale).split(",")]
-    rng = jax.random.key(args.seed)
+    # fold the process index in: with identical seeds every rank would
+    # generate the SAME noise/classes and the all-gathered set would be
+    # world_size copies of one batch
+    rng = jax.random.fold_in(jax.random.key(args.seed), pdist.rank())
     for scale in scales:
         def _chain(params, vparams, key, scale=scale):
             # grad_through_pred_xstart differentiates THROUGH the UNet, so

@@ -60,7 +60,10 @@ def main():
     )
 
     setup_compilation_cache()
-    rng = jax.random.key(args.seed)
+    # fold the process index in: with identical seeds every rank would
+    # generate the SAME noise/classes and the all-gathered set would be
+    # world_size copies of one batch
+    rng = jax.random.fold_in(jax.random.key(args.seed), pdist.rank())
     shape = (args.batch_size, args.image_size, args.image_size, 3)
     template = init_template(
         model, jnp.zeros(shape), jnp.zeros((args.batch_size,)),
@@ -95,11 +98,16 @@ def main():
     loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
     if getattr(args, "sampler", ""):
         # beyond-reference sampler selection; --use_ddim keeps working
-        loop = {
+        samplers = {
             "ancestral": diffusion.p_sample_loop,
             "ddim": diffusion.ddim_sample_loop,
             "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
-        }[args.sampler]
+        }
+        if args.sampler not in samplers:
+            raise SystemExit(
+                f"--sampler {args.sampler!r}: choose from {sorted(samplers)}"
+            )
+        loop = samplers[args.sampler]
 
     # One jitted program for the entire denoise chain (eager dispatch is
     # pathologically slow on remote-attached TPUs); params travel as jit

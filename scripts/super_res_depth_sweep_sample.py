@@ -82,7 +82,10 @@ def main():
     model_kwargs = {k: jnp.asarray(v) for k, v in kwargs.items()}
     imgs_start = model_kwargs.get("img2", jnp.asarray(imgs))
 
-    rng = jax.random.key(args.seed)
+    # fold the process index in: with identical seeds every rank would
+    # generate the SAME noise/classes and the all-gathered set would be
+    # world_size copies of one batch
+    rng = jax.random.fold_in(jax.random.key(args.seed), pdist.rank())
     depths = list(range(500, 1000, 199))  # reference :62
     T = diffusion.num_timesteps
     for depth in depths:

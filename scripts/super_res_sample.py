@@ -109,7 +109,10 @@ def main():
         )
 
     logger.log("creating samples...")
-    rng = jax.random.key(args.seed)
+    # fold the process index in: with identical seeds every rank would
+    # generate the SAME noise/classes and the all-gathered set would be
+    # world_size copies of one batch
+    rng = jax.random.fold_in(jax.random.key(args.seed), pdist.rank())
     all_images = []
     # each iteration gathers world_size*B samples (all_gather below)
     n_batches = -(-args.num_samples // (B * pdist.world_size()))

@@ -197,6 +197,15 @@ def test_lambda_uniform_grid():
     grid = sorted(lambda_uniform_subset(betas, 15))
     assert len(grid) == 15 and grid[0] == 0 and grid[-1] == 999
 
+    # EXACT count for every N (regression: the first greedy cut silently
+    # returned 98 for N=100 on cosine), endpoints always included
+    for sched_name in ("cosine", "linear"):
+        b = get_named_beta_schedule(sched_name, 1000)
+        for want in (2, 10, 100, 400, 999, 1000):
+            g = sorted(lambda_uniform_subset(b, want))
+            assert len(g) == want, (sched_name, want, len(g))
+            assert g[0] == 0 and g[-1] == 999
+
     ab = np.cumprod(1 - betas)
     lam = 0.5 * (np.log(ab) - np.log1p(-ab))
     gaps = np.abs(np.diff(lam[np.array(grid)]))

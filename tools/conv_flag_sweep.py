@@ -15,7 +15,7 @@ import os
 import subprocess
 import sys
 
-sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
 
