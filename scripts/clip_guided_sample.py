@@ -171,6 +171,17 @@ def main():
                 use_pred_xstart=args.grad_through_pred_xstart,
             )
             loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
+            if getattr(args, "sampler", ""):
+                samplers = {
+                    "ancestral": diffusion.p_sample_loop,
+                    "ddim": diffusion.ddim_sample_loop,
+                    "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
+                }
+                if args.sampler not in samplers:
+                    raise SystemExit(
+                        f"--sampler {args.sampler!r}: choose from {sorted(samplers)}"
+                    )
+                loop = samplers[args.sampler]
             return loop(
                 model_fn, shape, key,
                 clip_denoised=args.clip_denoised, cond_fn=cond_fn,
@@ -195,6 +206,7 @@ def create_argparser():
         num_samples=8,
         batch_size=8,
         use_ddim=False,
+        sampler="",  # ""(use_ddim decides)|ancestral|ddim|dpm++2m
         model_path="",
         clip_model_path="",
         text="",  # text prompt target (tokenized with --clip_vocab merges)
