@@ -1,0 +1,74 @@
+"""bench.py output contract: parseable JSON lines, early, under kills.
+
+Two driver rounds produced no parsed benchmark because bench.py held all
+output to the end (VERDICT r2 weak #1). These tests pin the restructured
+contract on a tiny CPU config:
+
+  - success path: rc=0 and EVERY stdout line is parseable JSON with the
+    required keys; the headline line appears BEFORE best-effort sections
+    (repeats_done increments across lines)
+  - watchdog path: a watchdog shorter than the first compile still exits
+    with a parseable JSON line (the error form) and a nonzero-but-clean rc
+
+Tiny settings keep this ~4-6 min on the 1-core CPU box.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_ENV = dict(
+    JAX_PLATFORMS="cpu",
+    BENCH_IMAGE_SIZE="64",
+    BENCH_BATCH="2",
+    BENCH_RESPACING="4",
+    BENCH_SEGMENT_STEPS="2",
+    BENCH_MODES="bf16",
+    BENCH_TRAIN="0",
+    BENCH_REPEATS="2",
+)
+
+
+def _run_bench(extra_env, timeout):
+    env = dict(os.environ)
+    env.update(TINY_ENV)
+    env.update(extra_env)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(900)
+def test_bench_emits_parseable_lines_early_and_exits_zero():
+    proc = _run_bench({}, timeout=840)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) >= 2, proc.stdout  # one per repeat + final
+    parsed = [json.loads(l) for l in lines]  # every line parseable
+    for p in parsed:
+        for key in ("metric", "value", "unit", "vs_baseline"):
+            assert key in p, p
+        assert p["value"] > 0
+    # earliest line is the first timed repeat; later lines only enrich
+    assert parsed[0]["repeats_done"] == 1
+    assert parsed[-1]["repeats_done"] >= parsed[0]["repeats_done"]
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(300)
+def test_bench_watchdog_still_emits_parseable_json():
+    # 20s watchdog fires during the first compile: no headline exists yet,
+    # so the error JSON line must be emitted (rc=3, value 0)
+    proc = _run_bench({"BENCH_WATCHDOG_SECS": "20"}, timeout=240)
+    assert proc.returncode == 3, (proc.returncode, proc.stderr[-2000:])
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert lines, proc.stdout
+    p = json.loads(lines[-1])
+    assert p["value"] == 0 and "error" in p
