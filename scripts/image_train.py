@@ -32,6 +32,12 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 def main():
     args = create_argparser().parse_args()
     args = parse_yaml(args)
+    # opt-in quantized training forward: s8 convs (2x MXU rate) with
+    # straight-through bf16 backward (ops/quant.py VJPs produce real
+    # dW/db); default xla = bf16 throughout
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+    set_conv_impl(getattr(args, "train_conv_impl", "xla"))
 
     from guided_diffusion_clip_tpu.utils.checkpoint import setup_compilation_cache
 
@@ -116,6 +122,7 @@ def create_argparser():
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here
         param_sharding="replicated",  # "fsdp" shards params/opt/EMA over the data axis
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
+        train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
         schedule_sampler="uniform",
         lr=1e-4,
         weight_decay=0.0,

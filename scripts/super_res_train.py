@@ -55,6 +55,12 @@ def load_superres_data(data_dir, batch_size, large_size, small_size, class_cond=
 def main():
     args = create_argparser().parse_args()
     args = parse_yaml(args)
+    # opt-in quantized training forward: s8 convs (2x MXU rate) with
+    # straight-through bf16 backward (ops/quant.py VJPs produce real
+    # dW/db); default xla = bf16 throughout
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+    set_conv_impl(getattr(args, "train_conv_impl", "xla"))
 
     from guided_diffusion_clip_tpu.utils.checkpoint import setup_compilation_cache
 
@@ -137,6 +143,7 @@ def create_argparser():
         fp16_scale_growth=1e-3,
         param_sharding="replicated",
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
+        train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -34,6 +34,12 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 def main():
     args = create_argparser().parse_args()
     args = parse_yaml(args)
+    # opt-in quantized training forward: s8 convs (2x MXU rate) with
+    # straight-through bf16 backward (ops/quant.py VJPs produce real
+    # dW/db); default xla = bf16 throughout
+    from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+    set_conv_impl(getattr(args, "train_conv_impl", "xla"))
     if getattr(args, "load", ""):
         args.f = args.load
         load_folder_path_parse(args)
@@ -131,6 +137,7 @@ def create_argparser():
         fp16_scale_growth=1e-3,
         param_sharding="replicated",
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
+        train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
         # fork extras (super_res_unsup.py:148-149)
         SR_mode=True,
         resume_ema_opt=False,
