@@ -90,6 +90,7 @@ class TrainLoop:
         profile_steps: int = 3,
         param_sharding: str = "replicated",
         ckpt_backend: str = "flax",
+        loss_weighting: str = "",
     ):
         self.model = model
         self.diffusion = diffusion
@@ -135,6 +136,23 @@ class TrainLoop:
         assert ckpt_backend in ("flax", "orbax"), ckpt_backend
         self.ckpt_backend = ckpt_backend
         self._orbax = None  # created lazily at first save (needs the run dir)
+        # Beyond-reference: per-timestep loss re-weighting. "min_snr_G"
+        # (Hang et al. 2023, arXiv:2303.09556): weight_t = min(SNR_t, G) /
+        # SNR_t for eps-prediction — down-weights the low-noise steps whose
+        # gradients dominate plain MSE, measurably faster convergence.
+        # Composes with importance sampling: applied as an extra factor on
+        # the per-example weights in run_step (unbiased estimate of the
+        # REWEIGHTED objective).
+        self._loss_weight_table = None
+        if loss_weighting:
+            if not loss_weighting.startswith("min_snr_"):
+                raise ValueError(f"unknown loss_weighting: {loss_weighting!r}")
+            gamma = float(loss_weighting[len("min_snr_"):])
+            ab = np.asarray(diffusion.sched.alphas_cumprod, np.float64)
+            snr = ab / (1.0 - ab)
+            self._loss_weight_table = (
+                np.minimum(snr, gamma) / snr
+            ).astype(np.float32)
         self.np_rng = np.random.default_rng(seed + jax.process_index())
         self.rng = jax.random.key(seed)
 
@@ -371,6 +389,8 @@ class TrainLoop:
 
     def run_step(self, batch, cond):
         t_np, w_np = self.schedule_sampler.sample(self.batch_size, self.np_rng)
+        if self._loss_weight_table is not None:
+            w_np = (w_np * self._loss_weight_table[t_np]).astype(np.float32)
         self.rng, step_rng = jax.random.split(self.rng)
 
         batch = shard_batch(self.mesh, jnp.asarray(batch, dtype=jnp.float32))

@@ -109,6 +109,7 @@ def main():
         profile_dir=args.profile_dir,
         param_sharding=args.param_sharding,
         ckpt_backend=args.ckpt_backend,
+        loss_weighting=args.loss_weighting,
     ).run_loop()
 
 
@@ -123,6 +124,7 @@ def create_argparser():
         param_sharding="replicated",  # "fsdp" shards params/opt/EMA over the data axis
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
+        loss_weighting="",  # "min_snr_5": SNR-clipped loss re-weighting
         schedule_sampler="uniform",
         lr=1e-4,
         weight_decay=0.0,

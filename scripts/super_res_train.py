@@ -121,6 +121,7 @@ def main():
         lr_anneal_steps=args.lr_anneal_steps,
         param_sharding=args.param_sharding,
         ckpt_backend=args.ckpt_backend,
+        loss_weighting=args.loss_weighting,
     ).run_loop()
 
 
@@ -144,6 +145,7 @@ def create_argparser():
         param_sharding="replicated",
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
+        loss_weighting="",  # "min_snr_5": SNR-clipped loss re-weighting
     )
     defaults.update(sr_model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

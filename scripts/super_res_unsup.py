@@ -113,6 +113,7 @@ def main():
         val_batch_size=args.val_batch_size,
         param_sharding=args.param_sharding,
         ckpt_backend=args.ckpt_backend,
+        loss_weighting=args.loss_weighting,
     ).run_loop()
 
 
@@ -138,6 +139,7 @@ def create_argparser():
         param_sharding="replicated",
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
+        loss_weighting="",  # "min_snr_5": SNR-clipped loss re-weighting
         # fork extras (super_res_unsup.py:148-149)
         SR_mode=True,
         resume_ema_opt=False,

@@ -106,3 +106,42 @@ def test_loss_decreases_int8_forward(tmp_path):
     assert last < first * 0.8, (
         f"int8-fwd training failed to learn: {first:.4f} -> {last:.4f}"
     )
+
+
+def test_min_snr_loss_weighting_table():
+    """min_snr_G table: min(SNR,G)/SNR per original timestep — 1.0 where
+    SNR <= G (high noise), G/SNR where SNR > G (low noise)."""
+    logger.configure_dir(dir="/tmp/minsnr_test", format_strs=[])
+    cfg = UNetConfig(
+        image_size=8, in_channels=3, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1,),
+        num_heads=1, use_scale_shift_norm=True,
+    )
+    model = UNetModel(config=cfg)
+    diffusion = create_gaussian_diffusion(steps=50, noise_schedule="cosine")
+
+    def data_gen():
+        while True:
+            yield np.zeros((4, 8, 8, 3), np.float32), {}
+
+    loop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+        microbatch=-1, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0, loss_weighting="min_snr_5",
+    )
+    tbl = loop._loss_weight_table
+    ab = np.asarray(diffusion.sched.alphas_cumprod, np.float64)
+    snr = ab / (1 - ab)
+    np.testing.assert_allclose(tbl, np.minimum(snr, 5.0) / snr, rtol=1e-6)
+    assert (tbl <= 1.0 + 1e-6).all() and tbl.min() < 0.1  # low-noise steps damped
+    # high-noise (low SNR) steps keep full weight
+    assert abs(tbl[-1] - 1.0) < 1e-6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TrainLoop(
+            model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+            microbatch=-1, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+            save_interval=10**9, seed=0, loss_weighting="bogus",
+        )
