@@ -82,6 +82,12 @@ class GroupNorm32(nn.Module):
         impl = resolve_groupnorm_impl(quantize=quantize)
         if impl == "pallas" and hw * C < 1 << 16:
             impl = "xla"  # tiny maps: no kernel win
+        from ..parallel import sp
+
+        if impl == "pallas" and sp.active():
+            # GSPMD can only replicate an opaque pallas_call; the XLA
+            # composite partitions (H-sharded stats become AllReduces).
+            impl = "xla"
         if scale_shift is not None:
             ss, sb = scale_shift
             scale_shift = (

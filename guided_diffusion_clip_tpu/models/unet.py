@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention as qkv_attention_dispatch
+from ..parallel import sp
 from .nn import (
     Conv,
     Dense,
@@ -315,15 +316,23 @@ class AttentionPool2d(nn.Module):
 
 
 def _apply_layer(parent, spec, name, h, emb, train, cfg):
-    """Instantiate + apply one planned layer inside a compact scope."""
+    """Instantiate + apply one planned layer inside a compact scope.
+
+    Under spatial partitioning (parallel/sp.py) every layer output is pinned
+    to (batch over 'data', H over 'space') so GSPMD keeps convs halo-exchanged
+    and GN reductions cross-device; attention inputs are pinned batch-only
+    (global spatial attention needs all tokens — one all-gather of a small
+    low-res activation) and re-scattered on exit. All hooks are identity when
+    SP is inactive.
+    """
     kind = spec["kind"]
     if kind == "stem":
-        return Conv(spec["out"], 3, dtype=cfg.dtype_, name=name)(h)
-    if kind == "res":
+        out = Conv(spec["out"], 3, dtype=cfg.dtype_, name=name)(h)
+    elif kind == "res":
         block_cls = ResBlock
         if cfg.use_checkpoint:
             block_cls = nn.remat(ResBlock, static_argnums=(3,))
-        return block_cls(
+        out = block_cls(
             out_channels=spec["out"],
             dropout=cfg.dropout,
             use_scale_shift_norm=cfg.use_scale_shift_norm,
@@ -332,21 +341,23 @@ def _apply_layer(parent, spec, name, h, emb, train, cfg):
             dtype=cfg.dtype_,
             name=name,
         )(h, emb, train)
-    if kind == "attn":
+    elif kind == "attn":
         block_cls = AttentionBlock
         if cfg.use_checkpoint:
             block_cls = nn.remat(AttentionBlock)
-        return block_cls(
+        out = block_cls(
             num_heads=spec["heads"],
             use_new_attention_order=cfg.use_new_attention_order,
             dtype=cfg.dtype_,
             name=name,
-        )(h)
-    if kind == "down":
-        return Downsample(spec["out"], use_conv=cfg.conv_resample, dtype=cfg.dtype_, name=name)(h)
-    if kind == "up":
-        return Upsample(spec["out"], use_conv=cfg.conv_resample, dtype=cfg.dtype_, name=name)(h)
-    raise ValueError(kind)
+        )(sp.constrain_batch(h))
+    elif kind == "down":
+        out = Downsample(spec["out"], use_conv=cfg.conv_resample, dtype=cfg.dtype_, name=name)(h)
+    elif kind == "up":
+        out = Upsample(spec["out"], use_conv=cfg.conv_resample, dtype=cfg.dtype_, name=name)(h)
+    else:
+        raise ValueError(kind)
+    return sp.constrain_spatial(out)
 
 
 class _CfgView:
@@ -442,7 +453,7 @@ class UNetModel(nn.Module):
 
         # --- UNet torso (bf16-capable) --------------------------------------
         input_blocks, middle_block, output_blocks, _ = build_plan(cfg)
-        h = x.astype(self.dtype)
+        h = sp.constrain_spatial(x.astype(self.dtype))
         hs = []
         for i, block in enumerate(input_blocks):
             for j, spec in enumerate(block):
@@ -478,7 +489,7 @@ class EncoderUNetModel(nn.Module):
         emb = Dense(ted, name="time_embed_2")(silu(emb))
 
         input_blocks, middle_block, _, feature_size = build_plan(cfg)
-        h = x.astype(self.dtype)
+        h = sp.constrain_spatial(x.astype(self.dtype))
         results = []
         for i, block in enumerate(input_blocks):
             for j, spec in enumerate(block):

@@ -67,7 +67,13 @@ def attention(qkv: jax.Array, num_heads: int, *, new_order: bool = False) -> jax
     # Mosaic tiles are (8, 128); unaligned token counts (e.g. the classifier's
     # 65-token AttentionPool) go through XLA rather than a padded kernel.
     aligned = (T % 8 == 0) and (d % 8 == 0)
-    if impl == "xla" or (impl == "pallas" and not aligned):
+    # Under spatial partitioning the program is GSPMD-partitioned and a
+    # pallas_call is an opaque custom call the partitioner can only replicate
+    # (all-gathering the batch onto every device); the einsum path shards
+    # cleanly over 'data'. SP is trace-time global, like the impl choice.
+    from ..parallel import sp
+
+    if impl == "xla" or (impl == "pallas" and not aligned) or sp.active():
         return qkv_attention(qkv, num_heads, new_order=new_order)
     from .pallas_attention import qkv_attention_pallas
 

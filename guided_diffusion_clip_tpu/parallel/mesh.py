@@ -130,12 +130,16 @@ def replicate(mesh: Mesh, tree):
 _FSDP_MIN_ELEMENTS = 16384
 
 
-def fsdp_spec(shape: tuple, axis_size: int, axis_name: str = "data") -> P:
+def fsdp_spec(shape: tuple, axis_size: int, axis_name="data") -> P:
     """PartitionSpec for one leaf: shard the largest dimension divisible by
     the mesh axis; replicate if none qualifies or the leaf is small.
 
     Deterministic on shape alone, so a param and its Adam mu/nu and EMA
-    copies (identical shapes) always agree.
+    copies (identical shapes) always agree. `axis_name` may be a tuple of
+    mesh axes (with `axis_size` their product) to shard one dimension over
+    several axes at once — used to spread param shards over the WHOLE pool
+    when the mesh also has a 'space' axis (SP), instead of replicating
+    shards within each space group.
     """
     if int(np.prod(shape or (1,))) < _FSDP_MIN_ELEMENTS:
         return P()
@@ -150,9 +154,10 @@ def fsdp_spec(shape: tuple, axis_size: int, axis_name: str = "data") -> P:
     return P(*spec)
 
 
-def fsdp_sharding_tree(mesh: Mesh, tree, axis_name: str = "data"):
+def fsdp_sharding_tree(mesh: Mesh, tree, axis_name="data"):
     """Pytree of NamedSharding mirroring `tree` under the FSDP policy."""
-    axis_size = mesh.shape[axis_name]
+    names = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    axis_size = int(np.prod([mesh.shape[n] for n in names]))
     return jax.tree_util.tree_map(
         lambda x: NamedSharding(mesh, fsdp_spec(jnp_shape(x), axis_size, axis_name)),
         tree,

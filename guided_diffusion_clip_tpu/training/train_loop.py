@@ -36,9 +36,11 @@ import optax
 
 from ..diffusion.api import Diffusion
 from ..parallel import dist as pdist
+from ..parallel import sp
 from ..parallel.mesh import (
     constrain_tree,
     create_data_mesh,
+    create_mesh,
     data_sharding,
     fsdp_sharding_tree,
     host_local_part,
@@ -91,6 +93,7 @@ class TrainLoop:
         param_sharding: str = "replicated",
         ckpt_backend: str = "flax",
         loss_weighting: str = "",
+        spatial_shard: int = 0,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -119,6 +122,25 @@ class TrainLoop:
         self.step = 0
         self.resume_step = 0
         self.global_batch = self.batch_size * max(1, jax.process_count())
+        # Spatial partitioning (parallel/sp.py): factor the device pool as
+        # data x space, shard batch over 'data' and every NHWC activation's H
+        # over 'space' (constraints live inside the model). Activation
+        # memory/time per chip drops by the space factor — the knob for
+        # 256/512px configs where pure DP runs out of HBM or latency.
+        if spatial_shard and spatial_shard > 1:
+            if mesh is None:
+                n = len(jax.devices())
+                assert n % spatial_shard == 0, (
+                    f"spatial_shard {spatial_shard} does not divide {n} devices"
+                )
+                d = n // spatial_shard
+                assert self.global_batch % d == 0, (
+                    f"global batch {self.global_batch} does not shard over "
+                    f"data axis {d} (= {n} devices / spatial_shard {spatial_shard})"
+                )
+                mesh = create_mesh(axes=(("data", d), ("space", spatial_shard)))
+            assert "space" in mesh.axis_names, mesh.axis_names
+            sp.set_spatial_sharding(mesh)
         # the mesh shards the GLOBAL batch (per-process batches are assembled
         # into one global array by shard_batch under multi-process)
         self.mesh = mesh if mesh is not None else create_data_mesh(self.global_batch)
@@ -236,9 +258,17 @@ class TrainLoop:
             # over 'data'; XLA all-gathers params for compute and
             # reduce-scatters grads. Single-host save/restore still works:
             # checkpoint IO gathers through fully-addressable arrays.
-            self._param_shd = fsdp_sharding_tree(self.mesh, self.params)
-            self._opt_shd = fsdp_sharding_tree(self.mesh, self.opt_state)
-            self._ema_shd = [fsdp_sharding_tree(self.mesh, e) for e in self.ema_params]
+            # with an SP 'space' axis present, spread shards over the whole
+            # pool (one dim over ('data','space')) — otherwise each space
+            # group would hold a full copy of every 'data'-axis shard
+            fsdp_axes = (
+                ("data", "space") if "space" in self.mesh.axis_names else "data"
+            )
+            self._param_shd = fsdp_sharding_tree(self.mesh, self.params, fsdp_axes)
+            self._opt_shd = fsdp_sharding_tree(self.mesh, self.opt_state, fsdp_axes)
+            self._ema_shd = [
+                fsdp_sharding_tree(self.mesh, e, fsdp_axes) for e in self.ema_params
+            ]
             self.params = shard_tree(self.params, self._param_shd)
             self.opt_state = shard_tree(self.opt_state, self._opt_shd)
             self.ema_params = [

@@ -70,6 +70,8 @@ def main():
     args = parse_yaml(args)
     # after parse_yaml so a conv_impl key in the YAML config takes effect
     set_conv_impl(getattr(args, "conv_impl", "auto"))
+    from guided_diffusion_clip_tpu.parallel import sp as _sp
+    _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
 
     pdist.setup_dist()
     logger.configure(args=args)
@@ -218,6 +220,7 @@ def create_argparser():
         main_path="",
         seed=0,
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
+        spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
 
     )
     defaults.update(model_and_diffusion_defaults())

@@ -110,6 +110,7 @@ def main():
         param_sharding=args.param_sharding,
         ckpt_backend=args.ckpt_backend,
         loss_weighting=args.loss_weighting,
+        spatial_shard=args.spatial_shard,
     ).run_loop()
 
 
@@ -122,6 +123,7 @@ def create_argparser():
         main_path="",
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here
         param_sharding="replicated",  # "fsdp" shards params/opt/EMA over the data axis
+        spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
         loss_weighting="",  # "min_snr_5": SNR-clipped loss re-weighting

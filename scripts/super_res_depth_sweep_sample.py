@@ -43,6 +43,8 @@ def main():
     args = parse_yaml(args)
     # after parse_yaml so a conv_impl key in the YAML config takes effect
     set_conv_impl(getattr(args, "conv_impl", "auto"))
+    from guided_diffusion_clip_tpu.parallel import sp as _sp
+    _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
     load_folder_path_parse(args)
     if getattr(args, "main_path", None) and getattr(args, "sub_dir_tstsave", None):
         args.main_path = os.path.join(args.main_path, args.sub_dir_tstsave)
@@ -128,6 +130,7 @@ def create_argparser():
         f="",
         seed=0,
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
+        spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
 
         denoise_start_point=-1,
     )
