@@ -94,7 +94,20 @@ def main():
 
     B = args.batch_size  # per-process, like the reference's per-rank batch
     world = max(1, jax.process_count())
-    mesh = create_data_mesh(B * world)
+    if args.spatial_shard and args.spatial_shard > 1:
+        # DP x SP: shard each image's H over a 'space' axis (parallel/sp.py)
+        from guided_diffusion_clip_tpu.parallel import sp
+        from guided_diffusion_clip_tpu.parallel.mesh import create_mesh
+
+        n, s = len(jax.devices()), args.spatial_shard
+        assert n % s == 0, f"--spatial_shard {s} does not divide {n} devices"
+        assert (B * world) % (n // s) == 0, (
+            f"global batch {B * world} does not shard over data axis {n // s}"
+        )
+        mesh = create_mesh(axes=(("data", n // s), ("space", s)))
+        sp.set_spatial_sharding(mesh)
+    else:
+        mesh = create_data_mesh(B * world)
     shape = (B, args.image_size, args.image_size, 3)
     # jitted init: unjitted flax init dispatches op-by-op (pathological on
     # remote-compile TPU toolchains, ~100s even for small models)
@@ -116,8 +129,10 @@ def main():
     opt = optax.adamw(learning_rate=schedule, weight_decay=args.weight_decay)
     opt_state = opt.init(params)
     if args.param_sharding == "fsdp":
-        param_shd = fsdp_sharding_tree(mesh, params)
-        opt_shd = fsdp_sharding_tree(mesh, opt_state)
+        # with an SP 'space' axis, spread shards over the whole pool
+        fsdp_axes = ("data", "space") if "space" in mesh.axis_names else "data"
+        param_shd = fsdp_sharding_tree(mesh, params, fsdp_axes)
+        opt_shd = fsdp_sharding_tree(mesh, opt_state, fsdp_axes)
         params = shard_tree(params, param_shd)
         opt_state = shard_tree(opt_state, opt_shd)
     else:
@@ -294,6 +309,7 @@ def create_argparser():
         eval_interval=5,
         save_interval=10000,
         param_sharding="replicated",  # "fsdp" shards params/opt over the data axis
+        spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
     )
     defaults.update(classifier_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -112,6 +112,7 @@ def main():
         val_datasets=val_datasets or None,
         val_batch_size=args.val_batch_size,
         param_sharding=args.param_sharding,
+        spatial_shard=args.spatial_shard,
         ckpt_backend=args.ckpt_backend,
         loss_weighting=args.loss_weighting,
     ).run_loop()
@@ -137,6 +138,7 @@ def create_argparser():
         use_fp16=False,
         fp16_scale_growth=1e-3,
         param_sharding="replicated",
+        spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
         loss_weighting="",  # "min_snr_5": SNR-clipped loss re-weighting

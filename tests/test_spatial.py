@@ -101,6 +101,64 @@ class TestSPForward:
         got = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))(params, x, t)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
 
+    def test_int8_forward_matches_unsharded_int8(self):
+        # the quantized fast path composes with SP: per-image scales come
+        # from the GN stats reduction, which under SP is a cross-device
+        # AllReduce — same values, so the s8 conv inputs are identical
+        from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+        model = UNetModel(config=tiny_cfg())
+        params = init_unet(model)
+        rs = np.random.RandomState(3)
+        x = rs.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+        t = np.array([0.0, 3.0, 9.0, 19.0], np.float32)
+        try:
+            set_conv_impl("int8")
+            ref = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))(params, x, t)
+            sp.set_spatial_sharding(sp_mesh())
+            got = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))(params, x, t)
+        finally:
+            set_conv_impl("auto")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+    def test_remat_forward_matches_unsharded(self):
+        # use_checkpoint wraps blocks in nn.remat with the SP constraints
+        # inside the rematerialized body
+        model = UNetModel(config=tiny_cfg(use_checkpoint=True))
+        params = init_unet(model)
+        rs = np.random.RandomState(4)
+        x = rs.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+        t = np.array([1.0, 2.0, 4.0, 8.0], np.float32)
+        ref = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))(params, x, t)
+        sp.set_spatial_sharding(sp_mesh())
+        got = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))(params, x, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+    def test_classifier_guidance_grad_matches_unsharded(self):
+        # jax.grad of the classifier log-prob THROUGH the SP constraints
+        # (classifier guidance composes: with_sharding_constraint transposes
+        # to itself, so cotangents stay H-sharded)
+        cfg = tiny_cfg(out_channels=10, num_head_channels=16)
+        model = EncoderUNetModel(config=cfg, pool="attention")
+        x0 = jnp.zeros((4, 16, 16, 3), jnp.float32)
+        t0 = jnp.zeros((4,), jnp.float32)
+        params = model.init(jax.random.key(0), x0, t0)["params"]
+        rs = np.random.RandomState(5)
+        x = rs.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+        t = np.array([0.0, 1.0, 2.0, 3.0], np.float32)
+        y = np.array([1, 4, 7, 2], np.int32)
+
+        def log_prob_sum(p, x, t, y):
+            logits = model.apply({"params": p}, x, t)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            return jnp.sum(jnp.take_along_axis(lp, y[:, None], axis=-1))
+
+        g = jax.jit(jax.grad(log_prob_sum, argnums=1))
+        ref = g(params, x, t, y)
+        sp.set_spatial_sharding(sp_mesh())
+        got = jax.jit(jax.grad(log_prob_sum, argnums=1))(params, x, t, y)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
     def test_hooks_are_identity_when_inactive(self):
         x = jnp.ones((2, 4, 4, 3))
         assert sp.constrain_spatial(x) is x
