@@ -70,10 +70,12 @@ def main():
     args = parse_yaml(args)
     # after parse_yaml so a conv_impl key in the YAML config takes effect
     set_conv_impl(getattr(args, "conv_impl", "auto"))
-    from guided_diffusion_clip_tpu.parallel import sp as _sp
-    _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
 
     pdist.setup_dist()
+    from guided_diffusion_clip_tpu.parallel import sp as _sp
+    # after setup_dist: setup_from_flag touches jax.devices(), which must
+    # not initialize the backend before jax.distributed.initialize
+    _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
     logger.configure(args=args)
     setup_compilation_cache()
 

@@ -46,13 +46,15 @@ def main():
     args = parse_yaml(args)
     # after parse_yaml so a conv_impl key in the YAML config takes effect
     set_conv_impl(getattr(args, "conv_impl", "auto"))
-    from guided_diffusion_clip_tpu.parallel import sp as _sp
-    _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
     load_folder_path_parse(args)
     if getattr(args, "main_path", None) and getattr(args, "sub_dir_tstsave", None):
         args.main_path = os.path.join(args.main_path, args.sub_dir_tstsave)
 
     pdist.setup_dist()
+    from guided_diffusion_clip_tpu.parallel import sp as _sp
+    # after setup_dist: setup_from_flag touches jax.devices(), which must
+    # not initialize the backend before jax.distributed.initialize
+    _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
     logger.configure(args=args)
     logger.log("\n\t".join(f"{k} = {v}" for k, v in vars(args).items()))
 
