@@ -6,7 +6,8 @@ data point behind the v5e-16 training-config claim in BASELINE.md.
 
 Usage: python tools/train_step_bench.py
 Env: TSB_BATCH (32), TSB_MICRO (16), TSB_IMAGE_SIZE (64), TSB_REPEATS (5),
-TSB_CONFIG (readme64 | fork128). fork128 = the fork's ACTUAL training
+TSB_CONFIG (readme64 | fork128), TSB_CONV_IMPL (xla | int8 — the
+--train_conv_impl quantized-forward path). fork128 = the fork's ACTUAL training
 recipe (reference config.yaml:28-32: 128px FFHQ, ch64, 2 res blocks,
 1 head, batch 48, CLIP-embedding conditioning via the clip_feat MLP) —
 the configuration the 128px training claim must be measured at.
@@ -36,6 +37,13 @@ from guided_diffusion_clip_tpu.utils.script_util import (
 
 def main():
     config = os.environ.get("TSB_CONFIG", "readme64")
+    conv_impl = os.environ.get("TSB_CONV_IMPL", "xla")
+    if conv_impl != "xla":
+        # mirrors image_train.py's --train_conv_impl: int8 = quantized
+        # loss-pass convs with straight-through bf16 backward
+        from guided_diffusion_clip_tpu.ops.config import set_conv_impl
+
+        set_conv_impl(conv_impl)
     B = int(os.environ.get("TSB_BATCH", 48 if config == "fork128" else 32))
     micro = int(os.environ.get("TSB_MICRO", 16))
     size = int(os.environ.get("TSB_IMAGE_SIZE", 128 if config == "fork128" else 64))
@@ -127,6 +135,8 @@ def main():
         if config == "fork128"
         else f"{size}px ADM 192ch"
     )
+    if conv_impl != "xla":
+        desc += f" [conv_impl={conv_impl}]"
     print(json.dumps({
         "config": f"{desc} train step, batch {B} (micro {micro}), bf16",
         "ms_per_step": round(best * 1000, 1),
