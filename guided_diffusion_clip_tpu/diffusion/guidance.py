@@ -50,6 +50,50 @@ def potential_cond_fn(potential: Callable, scale: float = 1.0) -> Callable:
     return cond_fn
 
 
+def cfg_model_fn(
+    model_fn: Callable,
+    cfg_scale: float,
+    null_kwargs: dict,
+) -> Callable:
+    """Classifier-free guidance (Ho & Salimans 2022) — beyond the reference.
+
+    Wraps a conditional `model_fn(x, t, **kwargs)` so each call evaluates the
+    conditional and unconditional branches in ONE doubled batch (keeps the MXU
+    fed; the two halves compile into the same convolutions) and combines the
+    eps halves as `eps_u + scale * (eps_c - eps_u)`. Channels beyond the input
+    channel count (the learned variance when learn_sigma) pass through from
+    the CONDITIONAL branch unchanged.
+
+    `null_kwargs` maps the conditioning keys to their *unconditional* value
+    (broadcastable per example): `clip_feat -> 0-vector` for the fork's
+    embedding conditioning, `y -> null class index` for Embed models trained
+    with a reserved null row. Keys NOT in null_kwargs (e.g. `low_res`) are
+    duplicated verbatim into both branches. The model must have been trained
+    with matching conditioning dropout (TrainLoop ``cond_dropout``) for the
+    null branch to mean "unconditional".
+    """
+
+    def fn(x, t, **kwargs):
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        kw2 = {}
+        for k, v in kwargs.items():
+            if v is None:
+                kw2[k] = None
+            elif k in null_kwargs:
+                nv = jnp.broadcast_to(jnp.asarray(null_kwargs[k], dtype=v.dtype), v.shape)
+                kw2[k] = jnp.concatenate([v, nv], axis=0)
+            else:
+                kw2[k] = jnp.concatenate([v, v], axis=0)
+        out = model_fn(x2, t2, **kw2)
+        cond_out, uncond_out = jnp.split(out, 2, axis=0)
+        c = x.shape[-1]
+        eps = uncond_out[..., :c] + cfg_scale * (cond_out[..., :c] - uncond_out[..., :c])
+        return jnp.concatenate([eps, cond_out[..., c:]], axis=-1)
+
+    return fn
+
+
 def model_fn_dropping_y(model_fn: Callable, class_cond: bool) -> Callable:
     """classifier_sample.py:63-65: drop y from the UNet call unless class-conditional
     (guidance labels are still consumed by cond_fn)."""

@@ -57,6 +57,36 @@ from ..utils.saving_imgs import save_img, tensor2img
 INITIAL_LOG_LOSS_SCALE = 20.0  # kept for log parity; bf16 needs no scaling
 
 
+def drop_conditioning(rng, cond: dict, p: float, null_y: int = -1) -> dict:
+    """Per-example conditioning dropout for classifier-free guidance training.
+
+    With probability ``p`` an example's conditioning is replaced by the null
+    value: ``clip_feat`` rows are zeroed (the fork's MLP label-emb null);
+    integer labels ``y`` are set to ``null_y`` (a class index the caller
+    reserved in the Embed table, e.g. trained with num_classes + 1 rows).
+    Other keys (low_res, img2, ...) are structural inputs, not semantics to
+    guide on, and pass through unchanged.
+    """
+    if not p:
+        return cond
+    keys = [k for k in ("clip_feat", "y") if cond.get(k) is not None]
+    if not keys:
+        return cond
+    some = cond[keys[0]]
+    mask = jax.random.bernoulli(rng, p, (some.shape[0],))
+    out = dict(cond)
+    if "clip_feat" in keys:
+        v = cond["clip_feat"]
+        out["clip_feat"] = jnp.where(
+            mask.reshape((-1,) + (1,) * (v.ndim - 1)), jnp.zeros_like(v), v
+        )
+    if "y" in keys:
+        assert null_y >= 0, "cond_dropout on a class-labelled model needs cond_null_y"
+        v = cond["y"]
+        out["y"] = jnp.where(mask, jnp.full_like(v, null_y), v)
+    return out
+
+
 def _global_norm(tree) -> jax.Array:
     return jnp.sqrt(
         sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in jax.tree_util.tree_leaves(tree))
@@ -94,6 +124,8 @@ class TrainLoop:
         ckpt_backend: str = "flax",
         loss_weighting: str = "",
         spatial_shard: int = 0,
+        cond_dropout: float = 0.0,
+        cond_null_y: int = -1,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -175,6 +207,11 @@ class TrainLoop:
             self._loss_weight_table = (
                 np.minimum(snr, gamma) / snr
             ).astype(np.float32)
+        # Classifier-free-guidance training (beyond reference): drop each
+        # example's conditioning with prob cond_dropout so the model also
+        # learns the unconditional score; sample with --cfg_scale.
+        self.cond_dropout = float(cond_dropout)
+        self.cond_null_y = int(cond_null_y)
         self.np_rng = np.random.default_rng(seed + jax.process_index())
         self.rng = jax.random.key(seed)
 
@@ -294,7 +331,12 @@ class TrainLoop:
         rep_shd = replicated(self.mesh)
         vec_shd = data_sharding(self.mesh)
 
+        cond_drop_p, cond_null_y = self.cond_dropout, self.cond_null_y
+
         def loss_of_microbatch(params, x, cond, t, weights, rng):
+            if cond_drop_p:
+                rng, cdrop_rng = jax.random.split(rng)
+                cond = drop_conditioning(cdrop_rng, cond, cond_drop_p, cond_null_y)
             dropout_rng, noise_rng = jax.random.split(rng)
 
             def model_fn(xx, tt, **kw):

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
 from guided_diffusion_clip_tpu.models.clip_vit import (
     CLIPConfig,
     CLIPVisionEncoder,
@@ -157,12 +158,26 @@ def main():
             # the s8 emission (no tangent) is only safe in noisy-x mode.
             emit = "bf16" if args.grad_through_pred_xstart else "s8"
 
+            def base_fn(x, t, **kw):
+                with int8_emit(emit):
+                    return model.apply({"params": params}, x, t, **kw)
+
             def model_fn(x, t, **kw):
                 if args.class_cond:
                     # condition on the target embedding itself (fork pathway)
-                    kw = dict(kw, clip_feat=jnp.broadcast_to(target, (B, target.shape[-1])))
-                with int8_emit(emit):
-                    return model.apply({"params": params}, x, t, **kw)
+                    kw = dict(kw, clip_feat=jnp.broadcast_to(target, (x.shape[0], target.shape[-1])))
+                return base_fn(x, t, **kw)
+
+            # classifier-free guidance over the embedding conditioning
+            # (model trained with --cond_dropout); composes with the CLIP
+            # guidance cond_fn, which keeps the plain conditional model
+            loop_model_fn = model_fn
+            if getattr(args, "cfg_scale", 0.0) and args.class_cond:
+                _cfg = cfg_model_fn(base_fn, args.cfg_scale, {"clip_feat": 0.0})
+
+                def loop_model_fn(x, t, **kw):
+                    feat = jnp.broadcast_to(target, (x.shape[0], target.shape[-1]))
+                    return _cfg(x, t, clip_feat=feat, **kw)
 
             def embed(pixels):
                 return clip_vision.apply({"params": vparams}, pixels)
@@ -187,7 +202,7 @@ def main():
                     )
                 loop = samplers[args.sampler]
             return loop(
-                model_fn, shape, key,
+                loop_model_fn, shape, key,
                 clip_denoised=args.clip_denoised, cond_fn=cond_fn,
             )
 
@@ -223,6 +238,7 @@ def create_argparser():
         seed=0,
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
+        cfg_scale=0.0,  # >0: classifier-free guidance (model trained w/ cond_dropout)
 
     )
     defaults.update(model_and_diffusion_defaults())

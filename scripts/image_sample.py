@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
+from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
@@ -116,11 +117,26 @@ def main():
     # One jitted program for the entire denoise chain (eager dispatch is
     # pathologically slow on remote-attached TPUs); params travel as jit
     # ARGUMENTS so weights aren't baked into the executable as constants.
+    cfg_scale = float(getattr(args, "cfg_scale", 0.0))
+
     @jax.jit
     def run_chain(params, key, model_kwargs, init_image=None):
         def model_fn(x, t, **kw):
             with int8_emit("s8"):  # unguided sampling never differentiates
                 return model.apply({"params": params}, x, t, **kw)
+
+        if cfg_scale:
+            # classifier-free guidance (beyond reference): needs a model
+            # trained with --cond_dropout; null = zero clip_feat / reserved
+            # null class index
+            null = {}
+            if model_kwargs.get("clip_feat") is not None:
+                null["clip_feat"] = 0.0
+            if model_kwargs.get("y") is not None:
+                if args.cfg_null_y < 0:
+                    raise SystemExit("--cfg_scale on a y-labelled model needs --cfg_null_y")
+                null["y"] = args.cfg_null_y
+            model_fn = cfg_model_fn(model_fn, cfg_scale, null)
 
         return loop(
             model_fn, shape, key,
@@ -198,6 +214,8 @@ def create_argparser():
         f="",
         seed=0,
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
+        cfg_scale=0.0,  # >0: classifier-free guidance (model trained w/ cond_dropout)
+        cfg_null_y=-1,  # null class index for CFG on y-labelled models
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
         sampler="",  # ""(use_ddim decides)|ancestral|ddim|dpm++2m
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here

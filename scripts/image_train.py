@@ -111,6 +111,8 @@ def main():
         ckpt_backend=args.ckpt_backend,
         loss_weighting=args.loss_weighting,
         spatial_shard=args.spatial_shard,
+        cond_dropout=args.cond_dropout,
+        cond_null_y=args.cfg_null_y,
     ).run_loop()
 
 
@@ -127,6 +129,8 @@ def create_argparser():
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
         loss_weighting="",  # "min_snr_5": SNR-clipped loss re-weighting
+        cond_dropout=0.0,  # >0: drop conditioning per example (train for CFG)
+        cfg_null_y=-1,  # reserved null class index for cond_dropout on y models
         schedule_sampler="uniform",
         lr=1e-4,
         weight_decay=0.0,
