@@ -81,7 +81,10 @@ def drop_conditioning(rng, cond: dict, p: float, null_y: int = -1) -> dict:
             mask.reshape((-1,) + (1,) * (v.ndim - 1)), jnp.zeros_like(v), v
         )
     if "y" in keys:
-        assert null_y >= 0, "cond_dropout on a class-labelled model needs cond_null_y"
+        assert null_y >= 0, (
+            "cond_dropout on a class-labelled model needs a reserved null "
+            "class index (TrainLoop cond_null_y / image_train --cfg_null_y)"
+        )
         v = cond["y"]
         out["y"] = jnp.where(mask, jnp.full_like(v, null_y), v)
     return out
@@ -212,6 +215,21 @@ class TrainLoop:
         # learns the unconditional score; sample with --cfg_scale.
         self.cond_dropout = float(cond_dropout)
         self.cond_null_y = int(cond_null_y)
+        if self.cond_dropout and self.cond_null_y >= 0:
+            # XLA's gather CLAMPS out-of-range indices: an unreserved null
+            # index would silently train the LAST REAL CLASS as "null",
+            # corrupting that class — fail here instead
+            mcfg = getattr(model, "config", None)
+            if (
+                mcfg is not None
+                and getattr(mcfg, "label_emb_type", "") == "embedding"
+                and mcfg.num_classes is not None
+            ):
+                assert self.cond_null_y < mcfg.num_classes, (
+                    f"cfg_null_y {self.cond_null_y} is outside the Embed table "
+                    f"(num_classes={mcfg.num_classes}); train with num_classes+1 "
+                    "rows to reserve a null class"
+                )
         self.np_rng = np.random.default_rng(seed + jax.process_index())
         self.rng = jax.random.key(seed)
 

@@ -162,22 +162,28 @@ def main():
                 with int8_emit(emit):
                     return model.apply({"params": params}, x, t, **kw)
 
+            def inject_target(x, kw):
+                # condition on the target embedding itself (fork pathway)
+                return dict(kw, clip_feat=jnp.broadcast_to(target, (x.shape[0], target.shape[-1])))
+
             def model_fn(x, t, **kw):
-                if args.class_cond:
-                    # condition on the target embedding itself (fork pathway)
-                    kw = dict(kw, clip_feat=jnp.broadcast_to(target, (x.shape[0], target.shape[-1])))
-                return base_fn(x, t, **kw)
+                return base_fn(x, t, **(inject_target(x, kw) if args.class_cond else kw))
 
             # classifier-free guidance over the embedding conditioning
             # (model trained with --cond_dropout); composes with the CLIP
             # guidance cond_fn, which keeps the plain conditional model
             loop_model_fn = model_fn
-            if getattr(args, "cfg_scale", 0.0) and args.class_cond:
+            if getattr(args, "cfg_scale", 0.0):
+                if not args.class_cond:
+                    raise SystemExit(
+                        "--cfg_scale needs an embedding-conditioned model "
+                        "(--class_cond True); an unconditional model has no "
+                        "conditioning to guide on"
+                    )
                 _cfg = cfg_model_fn(base_fn, args.cfg_scale, {"clip_feat": 0.0})
 
                 def loop_model_fn(x, t, **kw):
-                    feat = jnp.broadcast_to(target, (x.shape[0], target.shape[-1]))
-                    return _cfg(x, t, clip_feat=feat, **kw)
+                    return _cfg(x, t, **inject_target(x, kw))
 
             def embed(pixels):
                 return clip_vision.apply({"params": vparams}, pixels)

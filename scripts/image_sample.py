@@ -136,6 +136,13 @@ def main():
                 if args.cfg_null_y < 0:
                     raise SystemExit("--cfg_scale on a y-labelled model needs --cfg_null_y")
                 null["y"] = args.cfg_null_y
+            if not null:
+                # silently running CFG with identical branches would double
+                # every UNet call for a mathematically unguided result
+                raise SystemExit(
+                    "--cfg_scale needs conditioning to guide on (clip_feat or y "
+                    "in the batch — is --clip_file_path_test/--class_cond set?)"
+                )
             model_fn = cfg_model_fn(model_fn, cfg_scale, null)
 
         return loop(

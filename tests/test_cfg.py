@@ -101,6 +101,35 @@ class TestDropConditioning:
             drop_conditioning(jax.random.key(0), cond, 0.5, null_y=-1)
 
 
+def test_unreserved_null_class_rejected(tmp_path):
+    """XLA gather clamps out-of-range Embed indices — an unreserved null
+    index would silently train the last real class as 'null'. TrainLoop
+    must reject it at construction."""
+    from guided_diffusion_clip_tpu.models.unet import UNetModel
+
+    logger.configure_dir(dir=str(tmp_path), format_strs=[])
+    cfg = UNetConfig(
+        image_size=8, in_channels=3, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=(), channel_mult=(1,),
+        num_heads=1, num_classes=10, label_emb_type="embedding",
+    )
+    model = UNetModel(config=cfg)
+    diffusion = create_gaussian_diffusion(steps=10, noise_schedule="cosine")
+
+    def data_gen():
+        while True:
+            yield np.zeros((4, 8, 8, 3), np.float32), {
+                "y": np.zeros((4,), np.int64)
+            }
+
+    with pytest.raises(AssertionError, match="Embed table"):
+        TrainLoop(
+            model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+            microbatch=-1, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+            save_interval=10**9, seed=0, cond_dropout=0.1, cond_null_y=10,
+        )
+
+
 @pytest.mark.slow
 def test_train_cond_dropout_then_cfg_sample(tmp_path):
     """Train a tiny clip_feat model WITH conditioning dropout, then sample a

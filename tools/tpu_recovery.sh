@@ -30,7 +30,15 @@ run() {
 }
 
 # Quick liveness gate: a tiny jit must complete or nothing below will.
-run probe 300 python /tmp/probe_tpu.py || { echo "RELAY STILL DOWN — aborting"; exit 1; }
+cat > /tmp/gdc_probe_tpu.py <<'EOF'
+import time
+t0 = time.time()
+import jax, jax.numpy as jnp
+x = jax.jit(lambda a: (a * a).sum())(jnp.ones((128, 128)))
+x.block_until_ready()
+print(f"jit+run {time.time()-t0:.1f}s on {jax.devices()}: {x}", flush=True)
+EOF
+run probe 300 python /tmp/gdc_probe_tpu.py || { echo "RELAY STILL DOWN — aborting"; exit 1; }
 
 run bench      1300 env BENCH_WATCHDOG_SECS=1200 python bench.py
 run tsb64      1200 python tools/train_step_bench.py
