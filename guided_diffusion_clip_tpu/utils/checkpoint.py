@@ -114,11 +114,37 @@ def find_ema_checkpoint(main_checkpoint: str | None, step: int, rate) -> str | N
 
 
 def load_params(path: str, template, *, model: str = "unet", pool: str | None = None):
-    """Load model params from either a native .flax file or a torch .pt."""
+    """Load model params from a native .flax file, a torch .pt, or an
+    async-orbax run directory (``--ckpt_backend orbax``).
+
+    Orbax form: ``<run>/orbax`` loads the latest step's raw model params;
+    ``<run>/orbax@ema_0.9999`` selects a subtree of the saved state
+    (``model``/``ema_{rate}``/``opt``) — so sampling CLIs can consume
+    orbax-trained runs directly, no conversion step.
+    """
     if path.endswith(".pt"):
         from .torch_import import load_pt_checkpoint
 
         return load_pt_checkpoint(path, template, model=model, pool=pool)
+    base, sel = path, "model"
+    if "@" in os.path.basename(path):
+        base, sel = path.rsplit("@", 1)
+    if os.path.basename(base.rstrip("/")) == "orbax" and bf_io.isdir(base):
+        import jax
+        import jax.numpy as jnp
+
+        ck = OrbaxCheckpointer(base)
+        step = ck.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {base}")
+        tree = ck.restore_raw(step)
+        ck.close()
+        if sel not in tree:
+            raise KeyError(f"{sel!r} not in orbax state {sorted(tree)} ({base} step {step})")
+        picked = tree[sel]
+        return jax.tree_util.tree_map(
+            lambda t, x: jnp.asarray(x, getattr(t, "dtype", None)), template, picked
+        )
     return load_flax(path, template)
 
 
@@ -152,6 +178,11 @@ class OrbaxCheckpointer:
 
     def restore(self, step: int, template):
         return self._mgr.restore(step, args=self._ocp.args.StandardRestore(template))
+
+    def restore_raw(self, step: int):
+        """Restore from saved metadata alone (no template) — for consumers
+        like sampling CLIs that don't know the optimizer's structure."""
+        return self._mgr.restore(step)
 
     def latest_step(self):
         return self._mgr.latest_step()

@@ -78,3 +78,21 @@ def test_trainloop_orbax_backend_save_resume(tmp_path):
         jax.tree_util.tree_leaves(jax.device_get(loop2.ema_params[0])),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # sampling-CLI surface: load_params consumes the orbax run dir directly,
+    # "@ema_{rate}" selects the EMA subtree (no conversion step)
+    from guided_diffusion_clip_tpu.utils.checkpoint import load_params
+
+    tpl = jax.device_get(loop.params)
+    got = load_params(orbax_dir, tpl)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(loop.params)),
+        jax.tree_util.tree_leaves(got),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    got_ema = load_params(orbax_dir + "@ema_0.99", tpl)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(loop.ema_params[0])),
+        jax.tree_util.tree_leaves(got_ema),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
