@@ -84,6 +84,17 @@ def main():
     )
 
     loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
+    if getattr(args, "sampler", ""):
+        # beyond-reference sampler selection; --use_ddim keeps working.
+        # dpm++2m accepts cond_fn, so classifier guidance composes with it.
+        samplers = {
+            "ancestral": diffusion.p_sample_loop,
+            "ddim": diffusion.ddim_sample_loop,
+            "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
+        }
+        if args.sampler not in samplers:
+            raise SystemExit(f"--sampler {args.sampler!r}: choose from {sorted(samplers)}")
+        loop = samplers[args.sampler]
 
     @jax.jit
     def run_chain(params, cparams, key, classes):
@@ -151,6 +162,7 @@ def create_argparser():
         num_samples=10000,
         batch_size=16,
         use_ddim=False,
+        sampler="",  # ""(use_ddim decides)|ancestral|ddim|dpm++2m — cond_fn composes
         model_path="",
         classifier_path="",
         classifier_scale=1.0,

@@ -100,13 +100,27 @@ def main():
     logger.log("loading data...")
     data = load_data_for_worker(args.base_samples, B, args.class_cond)
 
+    # reference parity: super_res_sample always runs the ancestral chain
+    # (scripts/super_res_sample.py ignores use_ddim); --sampler is the
+    # beyond-reference opt-in for ddim / dpm++2m fast chains
+    loop = diffusion.p_sample_loop
+    if getattr(args, "sampler", ""):
+        samplers = {
+            "ancestral": diffusion.p_sample_loop,
+            "ddim": diffusion.ddim_sample_loop,
+            "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
+        }
+        if args.sampler not in samplers:
+            raise SystemExit(f"--sampler {args.sampler!r}: choose from {sorted(samplers)}")
+        loop = samplers[args.sampler]
+
     @jax.jit
     def run_chain(params, key, model_kwargs):
         def model_fn(x, t, **kw):
             with int8_emit("s8"):  # unguided sampling never differentiates
                 return model.apply({"params": params}, x, t, **kw)
 
-        return diffusion.p_sample_loop(
+        return loop(
             model_fn, shape, key,
             clip_denoised=args.clip_denoised,
             model_kwargs=model_kwargs,
@@ -151,7 +165,8 @@ def create_argparser():
         clip_denoised=True,
         num_samples=10000,
         batch_size=16,
-        use_ddim=False,
+        use_ddim=False,  # accepted for flag parity; reference ignores it here
+        sampler="",  # beyond-reference: ""(ancestral, parity)|ddim|dpm++2m
         base_samples="",
         model_path="",
         main_path="",
