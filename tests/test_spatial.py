@@ -191,6 +191,40 @@ class TestSPChain:
         got = jax.jit(chain)(params, key)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-6)
 
+    def test_cfg_chain_matches_unsharded(self):
+        """CFG doubles the batch INSIDE the jitted chain (cfg_model_fn
+        concatenates cond+uncond); under SP the doubled activations must
+        still pin to P('data','space') and produce the unsharded values."""
+        from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
+        from guided_diffusion_clip_tpu.models.clip_models import UNetModel_clip_feat
+
+        model = UNetModel_clip_feat(tiny_cfg(num_classes=8))
+        feat = jnp.asarray(np.random.RandomState(5).randn(4, 8), jnp.float32)
+        x = jnp.zeros((4, 16, 16, 3), jnp.float32)
+        params = model.init(
+            jax.random.key(0), x, jnp.zeros((4,)), clip_feat=feat
+        )["params"]
+        diffusion = create_gaussian_diffusion(
+            steps=20, noise_schedule="cosine", learn_sigma=True,
+            rescale_learned_sigmas=True, timestep_respacing="ddim5",
+        )
+        key = jax.random.key(7)
+
+        def chain(params, key):
+            def base_fn(x, t, **kw):
+                return model.apply({"params": params}, x, t, **kw)
+
+            fn = cfg_model_fn(base_fn, 2.5, {"clip_feat": 0.0})
+            return diffusion.ddim_sample_loop(
+                fn, (4, 16, 16, 3), key, clip_denoised=True,
+                model_kwargs={"clip_feat": feat},
+            )
+
+        ref = jax.jit(chain)(params, key)
+        sp.set_spatial_sharding(sp_mesh())
+        got = jax.jit(chain)(params, key)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-6)
+
 
 @pytest.mark.slow
 class TestSPTrainStep:
