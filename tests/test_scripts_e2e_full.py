@@ -296,6 +296,34 @@ class TestSampleVariants:
         arr = np.load(npz[0])["arr_0"]
         assert arr.shape[0] == 2 and np.isfinite(arr).all()
 
+    def test_image_sample_cfg(self, dataset16, tiny_ckpt16, tmp_path):
+        """--cfg_scale runs the doubled-batch classifier-free-guidance
+        chain through the CLI flag plumbing (clip_feat zero-null)."""
+        img_dir, clip_path = dataset16
+        out_dir = str(tmp_path / "cfg")
+        os.makedirs(out_dir)
+        run_script(
+            "image_sample.py",
+            [
+                *TINY_FLAGS,
+                "--class_cond", "True",
+                "--timestep_respacing", "5",
+                "--cfg_scale", "2.5",
+                "--model_path", tiny_ckpt16,
+                "--data_dir_test", img_dir,
+                "--clip_file_path_test", clip_path,
+                "--batch_size", "2",
+                "--num_samples", "2",
+            ],
+            env_extra={"OPENAI_LOGDIR": out_dir, "OPENAI_LOG_FORMAT": "log"},
+        )
+        npz = glob.glob(os.path.join(out_dir, "samples_*.npz"))
+        assert npz
+        import numpy as np
+
+        arr = np.load(npz[0])["arr_0"]
+        assert arr.shape[0] == 2 and np.isfinite(arr).all()
+
     def test_classifier_sample(self, tmp_path):
         """Classifier-guided sampling (grad-in-the-scan) on a tiny 64px pair."""
         import jax
