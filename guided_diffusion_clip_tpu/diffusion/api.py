@@ -69,33 +69,43 @@ class Diffusion:
     def p_sample_loop(
         self, model_fn, shape, rng, *, noise=None, init_image=None,
         clip_denoised=True, denoised_fn=None, cond_fn=None, model_kwargs=None,
-        denoise_start_point=-1, progressive=False,
+        denoise_start_point=-1, progressive=False, model_state0=None,
     ):
         cfg = self._cfg(clip_denoised, denoise_start_point=denoise_start_point)
-        loop = S.p_sample_loop_progressive if progressive else S.p_sample_loop
-        return loop(
+        if progressive:
+            return S.p_sample_loop_progressive(
+                self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
+                init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
+                model_kwargs=model_kwargs,
+            )
+        return S.p_sample_loop(
             self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
             init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
-            model_kwargs=model_kwargs,
+            model_kwargs=model_kwargs, model_state0=model_state0,
         )
 
     def ddim_sample_loop(
         self, model_fn, shape, rng, *, noise=None, init_image=None,
         clip_denoised=True, denoised_fn=None, cond_fn=None, model_kwargs=None,
-        eta=0.0, denoise_start_point=-1, progressive=False,
+        eta=0.0, denoise_start_point=-1, progressive=False, model_state0=None,
     ):
         cfg = self._cfg(clip_denoised, eta=eta, denoise_start_point=denoise_start_point)
-        loop = S.ddim_sample_loop_progressive if progressive else S.ddim_sample_loop
-        return loop(
+        if progressive:
+            return S.ddim_sample_loop_progressive(
+                self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
+                init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
+                model_kwargs=model_kwargs,
+            )
+        return S.ddim_sample_loop(
             self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
             init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
-            model_kwargs=model_kwargs,
+            model_kwargs=model_kwargs, model_state0=model_state0,
         )
 
     def dpm_solver_pp_2m_loop(
         self, model_fn, shape, rng, *, noise=None, init_image=None,
         clip_denoised=True, denoised_fn=None, cond_fn=None, model_kwargs=None,
-        denoise_start_point=-1,
+        denoise_start_point=-1, model_state0=None,
     ):
         """Second-order multistep ODE sampler (DPM-Solver++ 2M) — better
         quality than DDIM at 10-25 steps; beyond-reference capability."""
@@ -103,7 +113,7 @@ class Diffusion:
         return S.dpm_solver_pp_2m_loop(
             self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
             init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
-            model_kwargs=model_kwargs,
+            model_kwargs=model_kwargs, model_state0=model_state0,
         )
 
     def ddim_reverse_loop(self, model_fn, x0, *, clip_denoised=True, model_kwargs=None):

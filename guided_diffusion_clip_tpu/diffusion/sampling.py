@@ -168,24 +168,45 @@ def _scan_loop(
     denoised_fn,
     model_kwargs,
     progressive: bool,
+    model_state0=None,
 ):
+    """model_state0 opts into a STATEFUL model: `model_fn(x, t, state, **kw)
+    -> (out, new_state)`, with the state threaded through the scan carry
+    (used by deep-feature caching, diffusion/deep_cache.py). The step must
+    call the model exactly once — true of every step_fn here."""
     rng, init_rng = jax.random.split(rng)
     img, t_start = _start_state(sched, cfg, shape, init_rng, noise=noise, init_image=init_image)
     timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
     step_keys = jax.random.split(rng, t_start)
 
     def body(carry, inp):
-        x = carry
+        if model_state0 is None:
+            x, mstate, mf = carry, None, model_fn
+        else:
+            x, mstate = carry
+            captured = []
+
+            def mf(xx, tt, **kw):
+                out, st = model_fn(xx, tt, mstate, **kw)
+                captured.append(st)
+                return out
+
         t_scalar, key = inp
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
         sample, pred_xstart = step_fn(
-            sched, model_fn, x, t, key,
+            sched, mf, x, t, key,
             cfg=cfg, cond_fn=cond_fn, denoised_fn=denoised_fn, model_kwargs=model_kwargs,
         )
         out = (sample, pred_xstart) if progressive else None
-        return sample, out
+        if model_state0 is None:
+            return sample, out
+        assert len(captured) == 1, "stateful model_fn requires one call per step"
+        return (sample, captured[0]), out
 
-    final, ys = jax.lax.scan(body, img, (timesteps, step_keys))
+    init = img if model_state0 is None else (img, model_state0)
+    final, ys = jax.lax.scan(body, init, (timesteps, step_keys))
+    if model_state0 is not None:
+        final = final[0]
     if progressive:
         return final, ys  # ys = (samples [T,B,H,W,C], pred_xstarts [T,...])
     return final
@@ -203,12 +224,14 @@ def p_sample_loop(
     cond_fn: Callable | None = None,
     denoised_fn: Callable | None = None,
     model_kwargs: dict | None = None,
+    model_state0=None,
 ):
     """Full ancestral sampling chain as one scan (reference :441-544)."""
     return _scan_loop(
         p_sample_step, sched, model_fn, shape, rng,
         cfg=cfg, noise=noise, init_image=init_image, cond_fn=cond_fn,
         denoised_fn=denoised_fn, model_kwargs=model_kwargs, progressive=False,
+        model_state0=model_state0,
     )
 
 
@@ -237,12 +260,14 @@ def ddim_sample_loop(
     cond_fn: Callable | None = None,
     denoised_fn: Callable | None = None,
     model_kwargs: dict | None = None,
+    model_state0=None,
 ):
     """Full DDIM chain as one scan (reference :634-716)."""
     return _scan_loop(
         ddim_step, sched, model_fn, shape, rng,
         cfg=cfg, noise=noise, init_image=init_image, cond_fn=cond_fn,
         denoised_fn=denoised_fn, model_kwargs=model_kwargs, progressive=False,
+        model_state0=model_state0,
     )
 
 
@@ -346,6 +371,7 @@ def dpm_solver_pp_2m_loop(
     cond_fn: Callable | None = None,
     denoised_fn: Callable | None = None,
     model_kwargs: dict | None = None,
+    model_state0=None,
 ):
     """DPM-Solver++(2M) sampling chain as one scan.
 
@@ -371,24 +397,37 @@ def dpm_solver_pp_2m_loop(
     timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
     nd = len(shape)
 
-    def x0_of(x, t):
+    def x0_of(x, t, mstate):
+        if mstate is None:
+            mf, captured = model_fn, None
+        else:
+            captured = []
+
+            def mf(xx, tt, **kw):
+                out, st = model_fn(xx, tt, mstate, **kw)
+                captured.append(st)
+                return out
+
         out = G.p_mean_variance(
-            sched, model_fn, x, t,
+            sched, mf, x, t,
             mean_type=cfg.mean_type, var_type=cfg.var_type,
             clip_denoised=cfg.clip_denoised, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs,
         )
         if cond_fn is not None:
             out = G.condition_score(sched, cond_fn, out, x, t, model_kwargs=model_kwargs)
-        return out.pred_xstart
+        if mstate is None:
+            return out.pred_xstart, None
+        assert len(captured) == 1, "stateful model_fn requires one call per step"
+        return out.pred_xstart, captured[0]
 
     def lam(ab):
         return 0.5 * (jnp.log(ab) - jnp.log1p(-ab))
 
     def body(carry, t_scalar):
-        x, x0_prev, h_prev, has_prev = carry
+        (x, x0_prev, h_prev, has_prev), mstate = carry
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
-        x0 = x0_of(x, t)
+        x0, mstate = x0_of(x, t, mstate)
 
         ab_t = G._extract(sched.alphas_cumprod, t, nd)
         ab_prev = G._extract(sched.alphas_cumprod_prev, t, nd)
@@ -410,15 +449,18 @@ def dpm_solver_pp_2m_loop(
         # where (not an arithmetic blend): any non-finite in the unselected
         # branch must not propagate into the final step's x0
         x_next = jnp.where(t_scalar == 0, x0, x_next)
-        return (x_next, x0, h, jnp.float32(1.0)), None
+        return ((x_next, x0, h, jnp.float32(1.0)), mstate), None
 
     init = (
-        img,
-        jnp.zeros(shape, jnp.float32),
-        jnp.full((shape[0],) + (1,) * (nd - 1), 1.0, jnp.float32),
-        jnp.float32(0.0),
+        (
+            img,
+            jnp.zeros(shape, jnp.float32),
+            jnp.full((shape[0],) + (1,) * (nd - 1), 1.0, jnp.float32),
+            jnp.float32(0.0),
+        ),
+        model_state0,
     )
-    (final, _, _, _), _ = jax.lax.scan(body, init, timesteps)
+    ((final, _, _, _), _), _ = jax.lax.scan(body, init, timesteps)
     return final
 
 

@@ -394,7 +394,29 @@ class UNetModel(nn.Module):
         clip_feat2=None,
         img2=None,
         train: bool = False,
+        deep_cache=None,
+        cache_mode: str = "off",
+        cache_cut: int = 0,
     ):
+        """cache_mode/cache_cut/deep_cache implement DeepCache-style block
+        caching (Ma et al. 2023; see also Wimbauer et al., arXiv:2312.03209):
+        low-resolution "deep" features evolve slowly across adjacent denoise
+        steps, so the deep sub-UNet can be reused for several steps while the
+        high-resolution shallow path is recomputed. Training-free and
+        parameter-free — purely an evaluation-path choice.
+
+          "off"      plain forward, returns the output (default)
+          "full"     full forward; returns (out, deep_feature) where
+                     deep_feature is the activation entering the first
+                     SHALLOW output block (before its skip concat)
+          "shallow"  recompute only input_blocks[:cut] and the last `cut`
+                     output blocks, splicing `deep_cache` in for the deep
+                     sub-UNet; returns (out, deep_cache)
+
+        cache_cut = number of shallow input blocks; 0 picks the default cut
+        below the full-resolution level (stem + num_res_blocks), where the
+        bulk of per-step compute lives for large images.
+        """
         cfg = self.config
         cfgv = _CfgView(cfg, self.dtype)
         ted = cfg.time_embed_dim
@@ -453,23 +475,42 @@ class UNetModel(nn.Module):
 
         # --- UNet torso (bf16-capable) --------------------------------------
         input_blocks, middle_block, output_blocks, _ = build_plan(cfg)
+        n_in = len(input_blocks)
+        assert cache_mode in ("off", "full", "shallow"), cache_mode
+        cut = cache_cut if cache_cut > 0 else cfg.num_res_blocks + 1
+        if cache_mode != "off":
+            assert 1 <= cut <= n_in, (cut, n_in)
+            assert (cache_mode == "shallow") == (deep_cache is not None), (
+                "deep_cache must be given exactly when cache_mode='shallow'"
+            )
         h = sp.constrain_spatial(x.astype(self.dtype))
         hs = []
-        for i, block in enumerate(input_blocks):
+        in_blocks = input_blocks[:cut] if cache_mode == "shallow" else input_blocks
+        for i, block in enumerate(in_blocks):
             for j, spec in enumerate(block):
                 h = _apply_layer(self, spec, f"input_blocks_{i}_{j}", h, emb, train, cfgv)
             hs.append(h)
-        for j, spec in enumerate(middle_block):
-            h = _apply_layer(self, spec, f"middle_block_{j}", h, emb, train, cfgv)
-        for i, block in enumerate(output_blocks):
+        deep_out = None
+        if cache_mode == "shallow":
+            h = sp.constrain_spatial(deep_cache.astype(self.dtype))
+            out_start = n_in - cut
+        else:
+            for j, spec in enumerate(middle_block):
+                h = _apply_layer(self, spec, f"middle_block_{j}", h, emb, train, cfgv)
+            out_start = 0
+        for i, block in enumerate(output_blocks[out_start:], start=out_start):
+            if cache_mode == "full" and i == n_in - cut:
+                deep_out = h
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             for j, spec in enumerate(block):
                 h = _apply_layer(self, spec, f"output_blocks_{i}_{j}", h, emb, train, cfgv)
-
         # --- output head (f32, unet.py:613-617,663) -------------------------
         h = h.astype(x.dtype)
         h = GroupNorm32(name="out_norm")(h, activation="silu")
-        return Conv(cfg.out_channels, 3, zero=True, name="out_conv")(h)
+        out = Conv(cfg.out_channels, 3, zero=True, name="out_conv")(h)
+        if cache_mode == "off":
+            return out
+        return out, (deep_out if cache_mode == "full" else deep_cache)
 
 
 class EncoderUNetModel(nn.Module):

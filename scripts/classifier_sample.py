@@ -96,6 +96,9 @@ def main():
             raise SystemExit(f"--sampler {args.sampler!r}: choose from {sorted(samplers)}")
         loop = samplers[args.sampler]
 
+    deep_cache_n = int(getattr(args, "deep_cache", 0))
+    deep_cut = int(getattr(args, "deep_cache_cut", 0))
+
     @jax.jit
     def run_chain(params, cparams, key, classes):
         def unet_fn(x, t, **kw):
@@ -108,6 +111,40 @@ def main():
             return classifier.apply({"params": cparams}, x, t)
 
         cond_fn = classifier_cond_fn(classifier_fn, args.classifier_scale)
+        if deep_cache_n > 1:
+            # DeepCache deep-feature reuse on the GENERATOR only — the
+            # classifier gradient (the guidance itself) stays fresh every
+            # step (diffusion/deep_cache.py)
+            from guided_diffusion_clip_tpu.diffusion.deep_cache import (
+                deep_cache_model_fn,
+                zero_state,
+            )
+
+            def apply_full(x, t, y=None, **kw):
+                with int8_emit("s8"):
+                    return model.apply(
+                        {"params": params}, x, t, y=y if args.class_cond else None,
+                        cache_mode="full", cache_cut=deep_cut, **kw,
+                    )
+
+            def apply_shallow(x, t, deep, y=None, **kw):
+                with int8_emit("s8"):
+                    return model.apply(
+                        {"params": params}, x, t, y=y if args.class_cond else None,
+                        deep_cache=deep, cache_mode="shallow", cache_cut=deep_cut, **kw,
+                    )
+
+            sfn = deep_cache_model_fn(apply_full, apply_shallow, deep_cache_n)
+            state0 = zero_state(
+                apply_full, jnp.zeros(shape), jnp.zeros((B,), jnp.int32), y=classes
+            )
+            return loop(
+                sfn, shape, key,
+                clip_denoised=args.clip_denoised,
+                model_kwargs={"y": classes},
+                cond_fn=cond_fn,
+                model_state0=state0,
+            )
         model_fn = model_fn_dropping_y(unet_fn, args.class_cond)
         return loop(
             model_fn, shape, key,
@@ -170,6 +207,8 @@ def create_argparser():
         seed=0,
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
+        deep_cache=0,  # N>1: refresh the deep sub-UNet every N steps (DeepCache)
+        deep_cache_cut=0,  # shallow input blocks; 0 = below the full-res level
 
     )
     defaults.update(model_and_diffusion_defaults())

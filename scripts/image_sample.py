@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
+from guided_diffusion_clip_tpu.diffusion.deep_cache import deep_cache_model_fn, zero_state
 from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
@@ -118,12 +119,49 @@ def main():
     # pathologically slow on remote-attached TPUs); params travel as jit
     # ARGUMENTS so weights aren't baked into the executable as constants.
     cfg_scale = float(getattr(args, "cfg_scale", 0.0))
+    deep_cache_n = int(getattr(args, "deep_cache", 0))
+    deep_cut = int(getattr(args, "deep_cache_cut", 0))
+    if deep_cache_n > 1 and cfg_scale:
+        raise SystemExit("--deep_cache does not compose with --cfg_scale yet")
 
     @jax.jit
     def run_chain(params, key, model_kwargs, init_image=None):
         def model_fn(x, t, **kw):
             with int8_emit("s8"):  # unguided sampling never differentiates
                 return model.apply({"params": params}, x, t, **kw)
+
+        if deep_cache_n > 1:
+            # DeepCache-style deep-feature reuse (diffusion/deep_cache.py):
+            # refresh the deep sub-UNet every N steps, recompute only the
+            # high-res shallow blocks in between — one lax.cond per step
+            # inside the same scanned chain
+            def apply_full(x, t, **kw):
+                with int8_emit("s8"):
+                    return model.apply(
+                        {"params": params}, x, t,
+                        cache_mode="full", cache_cut=deep_cut, **kw,
+                    )
+
+            def apply_shallow(x, t, deep, **kw):
+                with int8_emit("s8"):
+                    return model.apply(
+                        {"params": params}, x, t, deep_cache=deep,
+                        cache_mode="shallow", cache_cut=deep_cut, **kw,
+                    )
+
+            sfn = deep_cache_model_fn(apply_full, apply_shallow, deep_cache_n)
+            state0 = zero_state(
+                apply_full, jnp.zeros(shape), jnp.zeros((shape[0],), jnp.int32),
+                **model_kwargs,
+            )
+            return loop(
+                sfn, shape, key,
+                clip_denoised=args.clip_denoised,
+                model_kwargs=model_kwargs,
+                denoise_start_point=dsp,
+                init_image=init_image,
+                model_state0=state0,
+            )
 
         if cfg_scale:
             # classifier-free guidance (beyond reference): needs a model
@@ -223,6 +261,8 @@ def create_argparser():
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
         cfg_scale=0.0,  # >0: classifier-free guidance (model trained w/ cond_dropout)
         cfg_null_y=-1,  # null class index for CFG on y-labelled models
+        deep_cache=0,  # N>1: refresh the deep sub-UNet every N steps (DeepCache)
+        deep_cache_cut=0,  # shallow input blocks; 0 = below the full-res level
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
         sampler="",  # ""(use_ddim decides)|ancestral|ddim|dpm++2m
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here

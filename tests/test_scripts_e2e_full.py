@@ -296,6 +296,33 @@ class TestSampleVariants:
         arr = np.load(npz[0])["arr_0"]
         assert arr.shape[0] == 2 and np.isfinite(arr).all()
 
+    def test_image_sample_deep_cache(self, dataset16, tiny_ckpt16, tmp_path):
+        """--deep_cache 2 runs the lax.cond cached chain through the CLI."""
+        img_dir, clip_path = dataset16
+        out_dir = str(tmp_path / "dc")
+        os.makedirs(out_dir)
+        run_script(
+            "image_sample.py",
+            [
+                *TINY_FLAGS,
+                "--class_cond", "True",
+                "--timestep_respacing", "5",
+                "--deep_cache", "2",
+                "--model_path", tiny_ckpt16,
+                "--data_dir_test", img_dir,
+                "--clip_file_path_test", clip_path,
+                "--batch_size", "2",
+                "--num_samples", "2",
+            ],
+            env_extra={"OPENAI_LOGDIR": out_dir, "OPENAI_LOG_FORMAT": "log"},
+        )
+        npz = glob.glob(os.path.join(out_dir, "samples_*.npz"))
+        assert npz
+        import numpy as np
+
+        arr = np.load(npz[0])["arr_0"]
+        assert arr.shape[0] == 2 and np.isfinite(arr).all()
+
     def test_image_sample_cfg(self, dataset16, tiny_ckpt16, tmp_path):
         """--cfg_scale runs the doubled-batch classifier-free-guidance
         chain through the CLI flag plumbing (clip_feat zero-null)."""
@@ -324,8 +351,11 @@ class TestSampleVariants:
         arr = np.load(npz[0])["arr_0"]
         assert arr.shape[0] == 2 and np.isfinite(arr).all()
 
-    def test_classifier_sample(self, tmp_path):
-        """Classifier-guided sampling (grad-in-the-scan) on a tiny 64px pair."""
+    @pytest.mark.parametrize("deep_cache", ["0", "2"])
+    def test_classifier_sample(self, tmp_path, deep_cache):
+        """Classifier-guided sampling (grad-in-the-scan) on a tiny 64px pair;
+        deep_cache=2 additionally drives the cached-generator branch (the
+        classifier gradient stays fresh every step)."""
         import jax
         import jax.numpy as jnp
 
@@ -387,6 +417,7 @@ class TestSampleVariants:
                 "--model_path", ckpt,
                 "--classifier_path", cckpt,
                 "--classifier_scale", "1.0",
+                "--deep_cache", deep_cache,
                 "--batch_size", "2",
                 "--num_samples", "2",
             ],
