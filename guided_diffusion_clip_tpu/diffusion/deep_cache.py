@@ -58,3 +58,32 @@ def zero_state(apply_full: Callable, x, t, **kw):
     shape/dtype via eval_shape (no compute; safe inside a jit trace)."""
     _, deep_sd = jax.eval_shape(lambda xx, tt: apply_full(xx, tt, **kw), x, t)
     return (jnp.int32(0), jnp.zeros(deep_sd.shape, deep_sd.dtype))
+
+
+def cfg_deep_cache_pair(
+    cached_apply: Callable,
+    cfg_scale: float,
+    null_kwargs: dict,
+) -> tuple[Callable, Callable]:
+    """Compose classifier-free guidance WITH deep-feature caching.
+
+    ``cached_apply(x, t, deep_cache=?, cache_mode=?, cache_cut handled by the
+    caller's closure, **kw)`` is the raw model apply exposing the cache modes.
+    Both CFG branches ride the same doubled batch (guidance.cfg_double), so
+    the cached deep feature simply has 2B rows; the eps combination
+    (guidance.cfg_combine) happens on the way out of either branch. Feed the
+    results to ``deep_cache_model_fn`` as usual.
+    """
+    from .guidance import cfg_combine, cfg_double
+
+    def apply_full(x, t, **kw):
+        x2, t2, kw2 = cfg_double(x, t, kw, null_kwargs)
+        out2, deep2 = cached_apply(x2, t2, cache_mode="full", **kw2)
+        return cfg_combine(out2, cfg_scale, x.shape[-1]), deep2
+
+    def apply_shallow(x, t, deep2, **kw):
+        x2, t2, kw2 = cfg_double(x, t, kw, null_kwargs)
+        out2, _ = cached_apply(x2, t2, deep_cache=deep2, cache_mode="shallow", **kw2)
+        return cfg_combine(out2, cfg_scale, x.shape[-1]), deep2
+
+    return apply_full, apply_shallow

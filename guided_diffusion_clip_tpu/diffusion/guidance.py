@@ -74,24 +74,34 @@ def cfg_model_fn(
     """
 
     def fn(x, t, **kwargs):
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        kw2 = {}
-        for k, v in kwargs.items():
-            if v is None:
-                kw2[k] = None
-            elif k in null_kwargs:
-                nv = jnp.broadcast_to(jnp.asarray(null_kwargs[k], dtype=v.dtype), v.shape)
-                kw2[k] = jnp.concatenate([v, nv], axis=0)
-            else:
-                kw2[k] = jnp.concatenate([v, v], axis=0)
-        out = model_fn(x2, t2, **kw2)
-        cond_out, uncond_out = jnp.split(out, 2, axis=0)
-        c = x.shape[-1]
-        eps = uncond_out[..., :c] + cfg_scale * (cond_out[..., :c] - uncond_out[..., :c])
-        return jnp.concatenate([eps, cond_out[..., c:]], axis=-1)
+        x2, t2, kw2 = cfg_double(x, t, kwargs, null_kwargs)
+        return cfg_combine(model_fn(x2, t2, **kw2), cfg_scale, x.shape[-1])
 
     return fn
+
+
+def cfg_double(x, t, kwargs: dict, null_kwargs: dict):
+    """Stack the conditional batch on top of its null-conditioned twin."""
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    kw2 = {}
+    for k, v in kwargs.items():
+        if v is None:
+            kw2[k] = None
+        elif k in null_kwargs:
+            nv = jnp.broadcast_to(jnp.asarray(null_kwargs[k], dtype=v.dtype), v.shape)
+            kw2[k] = jnp.concatenate([v, nv], axis=0)
+        else:
+            kw2[k] = jnp.concatenate([v, v], axis=0)
+    return x2, t2, kw2
+
+
+def cfg_combine(out2, cfg_scale: float, c: int):
+    """eps_u + scale*(eps_c - eps_u) over the first c channels; extra
+    channels (learned variance) pass through from the conditional half."""
+    cond_out, uncond_out = jnp.split(out2, 2, axis=0)
+    eps = uncond_out[..., :c] + cfg_scale * (cond_out[..., :c] - uncond_out[..., :c])
+    return jnp.concatenate([eps, cond_out[..., c:]], axis=-1)
 
 
 def model_fn_dropping_y(model_fn: Callable, class_cond: bool) -> Callable:

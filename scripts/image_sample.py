@@ -21,7 +21,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from guided_diffusion_clip_tpu.data.image_datasets import load_data
-from guided_diffusion_clip_tpu.diffusion.deep_cache import deep_cache_model_fn, zero_state
+from guided_diffusion_clip_tpu.diffusion.deep_cache import (
+    cfg_deep_cache_pair,
+    deep_cache_model_fn,
+    zero_state,
+)
 from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
@@ -121,8 +125,25 @@ def main():
     cfg_scale = float(getattr(args, "cfg_scale", 0.0))
     deep_cache_n = int(getattr(args, "deep_cache", 0))
     deep_cut = int(getattr(args, "deep_cache_cut", 0))
-    if deep_cache_n > 1 and cfg_scale:
-        raise SystemExit("--deep_cache does not compose with --cfg_scale yet")
+
+    def build_null(model_kwargs):
+        # classifier-free guidance (beyond reference): needs a model trained
+        # with --cond_dropout; null = zero clip_feat / reserved null class
+        null = {}
+        if model_kwargs.get("clip_feat") is not None:
+            null["clip_feat"] = 0.0
+        if model_kwargs.get("y") is not None:
+            if args.cfg_null_y < 0:
+                raise SystemExit("--cfg_scale on a y-labelled model needs --cfg_null_y")
+            null["y"] = args.cfg_null_y
+        if not null:
+            # silently running CFG with identical branches would double
+            # every UNet call for a mathematically unguided result
+            raise SystemExit(
+                "--cfg_scale needs conditioning to guide on (clip_feat or y "
+                "in the batch — is --clip_file_path_test/--class_cond set?)"
+            )
+        return null
 
     @jax.jit
     def run_chain(params, key, model_kwargs, init_image=None):
@@ -134,20 +155,24 @@ def main():
             # DeepCache-style deep-feature reuse (diffusion/deep_cache.py):
             # refresh the deep sub-UNet every N steps, recompute only the
             # high-res shallow blocks in between — one lax.cond per step
-            # inside the same scanned chain
-            def apply_full(x, t, **kw):
+            # inside the same scanned chain. Composes with CFG: both
+            # branches ride the doubled batch, the cache holds 2B rows.
+            def cached_apply(x, t, **kw):
                 with int8_emit("s8"):
                     return model.apply(
-                        {"params": params}, x, t,
-                        cache_mode="full", cache_cut=deep_cut, **kw,
+                        {"params": params}, x, t, cache_cut=deep_cut, **kw
                     )
 
-            def apply_shallow(x, t, deep, **kw):
-                with int8_emit("s8"):
-                    return model.apply(
-                        {"params": params}, x, t, deep_cache=deep,
-                        cache_mode="shallow", cache_cut=deep_cut, **kw,
-                    )
+            if cfg_scale:
+                apply_full, apply_shallow = cfg_deep_cache_pair(
+                    cached_apply, cfg_scale, build_null(model_kwargs)
+                )
+            else:
+                def apply_full(x, t, **kw):
+                    return cached_apply(x, t, cache_mode="full", **kw)
+
+                def apply_shallow(x, t, deep, **kw):
+                    return cached_apply(x, t, deep_cache=deep, cache_mode="shallow", **kw)
 
             sfn = deep_cache_model_fn(apply_full, apply_shallow, deep_cache_n)
             state0 = zero_state(
@@ -164,24 +189,7 @@ def main():
             )
 
         if cfg_scale:
-            # classifier-free guidance (beyond reference): needs a model
-            # trained with --cond_dropout; null = zero clip_feat / reserved
-            # null class index
-            null = {}
-            if model_kwargs.get("clip_feat") is not None:
-                null["clip_feat"] = 0.0
-            if model_kwargs.get("y") is not None:
-                if args.cfg_null_y < 0:
-                    raise SystemExit("--cfg_scale on a y-labelled model needs --cfg_null_y")
-                null["y"] = args.cfg_null_y
-            if not null:
-                # silently running CFG with identical branches would double
-                # every UNet call for a mathematically unguided result
-                raise SystemExit(
-                    "--cfg_scale needs conditioning to guide on (clip_feat or y "
-                    "in the batch — is --clip_file_path_test/--class_cond set?)"
-                )
-            model_fn = cfg_model_fn(model_fn, cfg_scale, null)
+            model_fn = cfg_model_fn(model_fn, cfg_scale, build_null(model_kwargs))
 
         return loop(
             model_fn, shape, key,

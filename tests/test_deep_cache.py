@@ -126,6 +126,64 @@ class TestCachedChains:
         got = self._chain(model, params, loop, 1)
         np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
 
+    def test_cfg_composition_interval_one_identical(self, setup):
+        """cfg_deep_cache_pair at interval=1 must equal the plain CFG chain:
+        pins the doubled-batch cache topology and the eps combination."""
+        from guided_diffusion_clip_tpu.diffusion.deep_cache import cfg_deep_cache_pair
+        from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
+        from guided_diffusion_clip_tpu.models.clip_models import UNetModel_clip_feat
+        from guided_diffusion_clip_tpu.models.unet import UNetConfig
+
+        cfg = UNetConfig(
+            image_size=16, in_channels=3, model_channels=32, out_channels=6,
+            num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+            num_heads=2, use_scale_shift_norm=True, num_classes=8,
+        )
+        model = UNetModel_clip_feat(cfg)
+        feat = jnp.asarray(np.random.RandomState(2).randn(2, 8), jnp.float32)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((2, 16, 16, 3)), jnp.zeros((2,)),
+            clip_feat=feat,
+        )["params"]
+        params = jax.tree_util.tree_map(
+            lambda v: v + 0.01 * np.random.RandomState(3).standard_normal(v.shape).astype(v.dtype),
+            params,
+        )
+        diffusion = create_gaussian_diffusion(
+            steps=50, noise_schedule="cosine", learn_sigma=True,
+            rescale_learned_sigmas=True, timestep_respacing="5",
+        )
+        shape = (2, 16, 16, 3)
+        key = jax.random.key(13)
+        null = {"clip_feat": 0.0}
+
+        def plain_cfg(params):
+            def base(x, t, **kw):
+                return model.apply({"params": params}, x, t, **kw)
+
+            return diffusion.ddim_sample_loop(
+                cfg_model_fn(base, 2.0, null), shape, key,
+                clip_denoised=True, model_kwargs={"clip_feat": feat},
+            )
+
+        def cached_cfg(params):
+            def cached_apply(x, t, **kw):
+                return model.apply({"params": params}, x, t, **kw)
+
+            full, shallow = cfg_deep_cache_pair(cached_apply, 2.0, null)
+            sfn = deep_cache_model_fn(full, shallow, 1)
+            state0 = zero_state(
+                full, jnp.zeros(shape), jnp.zeros((2,), jnp.int32), clip_feat=feat
+            )
+            return diffusion.ddim_sample_loop(
+                sfn, shape, key, clip_denoised=True,
+                model_kwargs={"clip_feat": feat}, model_state0=state0,
+            )
+
+        ref = np.asarray(jax.jit(plain_cfg)(params))
+        got = np.asarray(jax.jit(cached_cfg)(params))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
     def test_interval_k_runs_and_approximates(self, setup):
         model, params, x, t = setup
         ref = self._chain(model, params, "ddim_sample_loop", None, steps="10")
