@@ -30,6 +30,7 @@ import os
 from typing import Any, Callable, Iterator, Optional
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -124,6 +125,7 @@ class TrainLoop:
         profile_dir: str = "",
         profile_steps: int = 3,
         param_sharding: str = "replicated",
+        opt_impl: str = "tree",
         ckpt_backend: str = "flax",
         loss_weighting: str = "",
         spatial_shard: int = 0,
@@ -190,6 +192,18 @@ class TrainLoop:
             )
         assert param_sharding in ("replicated", "fsdp"), param_sharding
         self.param_sharding = param_sharding
+        # opt_impl="flat": run AdamW + EMA on ONE raveled f32 vector per state
+        # tensor instead of per-leaf tree ops. The ~500-leaf tree update
+        # lowers to thousands of tiny serialized kernels (measured ~33 ms
+        # tail at the 64px config vs a ~5 ms HBM roofline —
+        # tools/opt_tail_probe.py); the flat path pays 2 ravels + 1 unravel
+        # of extra bandwidth to get single-buffer elementwise passes.
+        # Not composed with FSDP: dimension-sharded leaves cannot share one
+        # contiguous vector without resharding every step.
+        assert opt_impl in ("tree", "flat"), opt_impl
+        if opt_impl == "flat" and param_sharding == "fsdp":
+            raise ValueError("opt_impl='flat' does not compose with FSDP sharding")
+        self.opt_impl = opt_impl
         assert ckpt_backend in ("flax", "orbax"), ckpt_backend
         self.ckpt_backend = ckpt_backend
         self._orbax = None  # created lazily at first save (needs the run dir)
@@ -259,8 +273,35 @@ class TrainLoop:
         else:
             schedule = self.lr
         self.opt = optax.adamw(learning_rate=schedule, weight_decay=self.weight_decay)
-        self.opt_state = self.opt.init(self.params)
-        self.ema_params = [jax.tree_util.tree_map(jnp.copy, self.params) for _ in self.ema_rate]
+        self._lr_schedule = schedule
+        if self.opt_impl == "flat":
+            leaves = jax.tree_util.tree_leaves(self.params)
+            assert all(x.dtype == jnp.float32 for x in leaves), (
+                "opt_impl='flat' ravels all params into one f32 vector; "
+                "found non-f32 leaves"
+            )
+            flat, self._unravel = jax.flatten_util.ravel_pytree(self.params)
+            self._ravel_jit = jax.jit(lambda t: jax.flatten_util.ravel_pytree(t)[0])
+            self._unravel_jit = jax.jit(self._unravel)
+            # same structure the tree path's save/restore template logic
+            # expects: a pytree; count/m/v mirror optax.scale_by_adam state
+            self.opt_state = {
+                "count": jnp.zeros((), jnp.int32),
+                "m": jnp.zeros_like(flat),
+                "v": jnp.zeros_like(flat),
+            }
+            self.ema_params = [jnp.copy(flat) for _ in self.ema_rate]
+        else:
+            self.opt_state = self.opt.init(self.params)
+            self.ema_params = [
+                jax.tree_util.tree_map(jnp.copy, self.params) for _ in self.ema_rate
+            ]
+
+    def _ema_tree(self, i):
+        """EMA state as a param-tree (opt_impl='flat' keeps it raveled)."""
+        if self.opt_impl == "flat":
+            return self._unravel_jit(self.ema_params[i])
+        return self.ema_params[i]
 
     def _maybe_resume(self):
         resume = self.resume_checkpoint or find_resume_checkpoint()
@@ -274,10 +315,8 @@ class TrainLoop:
                 raise FileNotFoundError(f"no orbax checkpoints under {resume}")
             template = {
                 "model": self.params,
-                **{
-                    f"ema_{rate}": ema
-                    for rate, ema in zip(self.ema_rate, self.ema_params)
-                },
+                # ema checkpoints are param-trees on disk in both opt impls
+                **{f"ema_{rate}": self.params for rate in self.ema_rate},
                 "opt": self.opt_state,
             }
             logger.log(f"loading orbax checkpoint {resume} step {step}...")
@@ -285,7 +324,11 @@ class TrainLoop:
             box.close()
             self.resume_step = int(step)
             self.params = tree["model"]
-            self.ema_params = [tree[f"ema_{r}"] for r in self.ema_rate]
+            self.ema_params = [
+                self._ravel_jit(tree[f"ema_{r}"]) if self.opt_impl == "flat"
+                else tree[f"ema_{r}"]
+                for r in self.ema_rate
+            ]
             self.opt_state = tree["opt"]
             return
         self.resume_step = ckpt.parse_resume_step_from_filename(resume)
@@ -296,7 +339,12 @@ class TrainLoop:
             path = ckpt.find_ema_checkpoint(resume, self.resume_step, rate)
             if path:
                 logger.log(f"loading EMA from checkpoint: {path}...")
-                self.ema_params[i] = ckpt.load_params(path, self.ema_params[i])
+                tree = ckpt.load_params(path, self._ema_tree(i))
+                self.ema_params[i] = (
+                    self._ravel_jit(tree) if self.opt_impl == "flat" else tree
+                )
+            elif self.opt_impl == "flat":
+                self.ema_params[i] = self._ravel_jit(self.params)
             else:
                 self.ema_params[i] = jax.tree_util.tree_map(jnp.copy, self.params)
         ext = resume.rsplit(".", 1)[-1]
@@ -340,6 +388,10 @@ class TrainLoop:
         model = self.model
         diffusion = self.diffusion
         opt = self.opt
+        opt_impl = self.opt_impl
+        lr_schedule = self._lr_schedule
+        weight_decay = self.weight_decay
+        unravel = self._unravel if opt_impl == "flat" else None
         ema_rates = tuple(self.ema_rate)
         n_micro = self.n_micro
         # the step sees the GLOBAL batch: world * per-process microbatch rows
@@ -410,14 +462,40 @@ class TrainLoop:
                 scan_body, zero_grads, ((mb[0], mb[1], mb[2], mb[3]), rngs)
             )
 
-            grad_norm = _global_norm(grads)
-            param_norm = _global_norm(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            ema_params = tuple(
-                optax.incremental_update(params, e, step_size=1.0 - rate)
-                for e, rate in zip(ema_params, ema_rates)
-            )
+            if opt_impl == "flat":
+                # single-buffer AdamW + EMA: exact optax.adamw math (chain of
+                # scale_by_adam b1=.9 b2=.999 eps=1e-8 -> add_decayed_weights
+                # -> -schedule(count)) on raveled vectors. One fused
+                # elementwise pass per state tensor instead of ~10 tiny
+                # kernels x ~500 leaves (tools/opt_tail_probe.py).
+                fg = jax.flatten_util.ravel_pytree(grads)[0]
+                fp = jax.flatten_util.ravel_pytree(params)[0]
+                grad_norm = jnp.linalg.norm(fg)
+                param_norm = jnp.linalg.norm(fp)
+                count = opt_state["count"]
+                lr_t = lr_schedule(count) if callable(lr_schedule) else lr_schedule
+                c1 = count + 1
+                m = 0.9 * opt_state["m"] + 0.1 * fg
+                v = 0.999 * opt_state["v"] + 0.001 * jnp.square(fg)
+                m_hat = m / (1.0 - 0.9 ** c1)
+                v_hat = v / (1.0 - 0.999 ** c1)
+                upd = m_hat / (jnp.sqrt(v_hat) + 1e-8) + weight_decay * fp
+                fp = fp - lr_t * upd
+                opt_state = {"count": c1, "m": m, "v": v}
+                ema_params = tuple(
+                    e + (1.0 - rate) * (fp - e)
+                    for e, rate in zip(ema_params, ema_rates)
+                )
+                params = unravel(fp)
+            else:
+                grad_norm = _global_norm(grads)
+                param_norm = _global_norm(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                ema_params = tuple(
+                    optax.incremental_update(params, e, step_size=1.0 - rate)
+                    for e, rate in zip(ema_params, ema_rates)
+                )
             if param_shd is not None:
                 # pin outputs to the FSDP layout: the optimizer + EMA update
                 # runs fully sharded and state round-trips step-to-step
@@ -578,8 +656,8 @@ class TrainLoop:
             tree = {
                 "model": self.params,
                 **{
-                    f"ema_{rate}": ema
-                    for rate, ema in zip(self.ema_rate, self.ema_params)
+                    f"ema_{rate}": self._ema_tree(i)
+                    for i, rate in enumerate(self.ema_rate)
                 },
                 "opt": self.opt_state,
             }
@@ -592,8 +670,8 @@ class TrainLoop:
         trees = [
             (ckpt.checkpoint_name("model", step), self.params),
             *(
-                (ckpt.checkpoint_name("ema", step, rate), ema)
-                for rate, ema in zip(self.ema_rate, self.ema_params)
+                (ckpt.checkpoint_name("ema", step, rate), self._ema_tree(i))
+                for i, rate in enumerate(self.ema_rate)
             ),
             (ckpt.checkpoint_name("opt", step), self.opt_state),
         ]
@@ -672,7 +750,7 @@ class TrainLoop:
 
             self.rng, sample_rng = jax.random.split(self.rng)
             chain = self._get_val_chain(batch.shape)
-            sample = chain(self.ema_params[0], sample_rng, cond)
+            sample = chain(self._ema_tree(0), sample_rng, cond)
             gathered = pdist.all_gather_host(host_local_part(sample))
             gathered = gathered.reshape((-1,) + gathered.shape[2:])
             # gather targets the same way so the samples/targets grids

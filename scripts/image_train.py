@@ -108,6 +108,7 @@ def main():
         val_batch_size=args.val_batch_size,
         profile_dir=args.profile_dir,
         param_sharding=args.param_sharding,
+        opt_impl=args.opt_impl,
         ckpt_backend=args.ckpt_backend,
         loss_weighting=args.loss_weighting,
         spatial_shard=args.spatial_shard,
@@ -125,6 +126,7 @@ def create_argparser():
         main_path="",
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here
         param_sharding="replicated",  # "fsdp" shards params/opt/EMA over the data axis
+        opt_impl="tree",  # "flat": single-buffer fused AdamW+EMA (not with fsdp)
         spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)

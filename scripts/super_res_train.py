@@ -120,6 +120,7 @@ def main():
         weight_decay=args.weight_decay,
         lr_anneal_steps=args.lr_anneal_steps,
         param_sharding=args.param_sharding,
+        opt_impl=args.opt_impl,
         spatial_shard=args.spatial_shard,
         ckpt_backend=args.ckpt_backend,
         loss_weighting=args.loss_weighting,
@@ -144,6 +145,7 @@ def create_argparser():
         use_fp16=False,
         fp16_scale_growth=1e-3,
         param_sharding="replicated",
+        opt_impl="tree",  # "flat": single-buffer fused AdamW+EMA (not with fsdp)
         spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)

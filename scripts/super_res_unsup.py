@@ -112,6 +112,7 @@ def main():
         val_datasets=val_datasets or None,
         val_batch_size=args.val_batch_size,
         param_sharding=args.param_sharding,
+        opt_impl=args.opt_impl,
         spatial_shard=args.spatial_shard,
         ckpt_backend=args.ckpt_backend,
         loss_weighting=args.loss_weighting,
@@ -138,6 +139,7 @@ def create_argparser():
         use_fp16=False,
         fp16_scale_growth=1e-3,
         param_sharding="replicated",
+        opt_impl="tree",  # "flat": single-buffer fused AdamW+EMA (not with fsdp)
         spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)

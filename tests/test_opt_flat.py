@@ -1,0 +1,118 @@
+"""opt_impl='flat': single-buffer fused AdamW + EMA.
+
+The tree-path optimizer tail lowers to ~10 tiny kernels x ~500 leaves
+(measured ~33 ms vs a ~5 ms HBM roofline at the 64px config,
+tools/opt_tail_probe.py). The flat path ravels grads/params into one f32
+vector and runs the exact optax.adamw math (scale_by_adam -> weight decay ->
+-schedule(count)) as a handful of full-width fused passes. Correctness
+contract: numerically equivalent to the tree path, same checkpoint formats
+on disk (model/ema_{rate} stay param-trees).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from guided_diffusion_clip_tpu.parallel.mesh import create_mesh
+from guided_diffusion_clip_tpu.utils import checkpoint as ckpt
+from guided_diffusion_clip_tpu.utils import logger
+
+from tests.test_sharding import data_gen, make_loop
+
+
+def _steps(loop, n, batch_size, seed=42):
+    gen = data_gen(batch_size, seed=seed)
+    for _ in range(n):
+        b, c = next(gen)
+        loop.run_step(b, c)
+        loop.step += 1
+
+
+class TestFlatMatchesTree:
+    @pytest.mark.slow
+    def test_two_steps_identical(self):
+        # Two steps, not more: after step 1 the paths are bit-identical;
+        # after step 2 they differ only by fusion noise (~2 ULP relative,
+        # 2.3e-7 measured). From step 3 on, Adam's sign-like normalization
+        # on zero-init leaves (update ~ g/(|g|+eps), derivative ~1/eps near
+        # g->0) chaotically amplifies that ULP noise to ~4e-6, so longer
+        # horizons cannot distinguish math bugs from float scheduling. A
+        # dropped weight-decay term or a schedule off-by-one would show at
+        # >=5e-6 by step 2 -- well above what this rtol/atol admits.
+        mesh = create_mesh()
+        kw = dict(weight_decay=0.01, lr_anneal_steps=200)
+        loop_tree = make_loop(mesh, batch_size=8, **kw)
+        init_params = jax.device_get(loop_tree.params)
+        loop_flat = make_loop(
+            mesh, batch_size=8, init_params=init_params, opt_impl="flat", **kw
+        )
+
+        _steps(loop_tree, 2, 8)
+        _steps(loop_flat, 2, 8)
+
+        for (kp, vt), (_, vf) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(loop_tree.params))[0],
+            jax.tree_util.tree_flatten_with_path(jax.device_get(loop_flat.params))[0],
+        ):
+            np.testing.assert_allclose(vf, vt, rtol=1e-6, atol=1e-8, err_msg=str(kp))
+
+        # EMA: flat keeps it raveled; _ema_tree restores the tree view
+        for vt, vf in zip(
+            jax.tree_util.tree_leaves(jax.device_get(loop_tree.ema_params[0])),
+            jax.tree_util.tree_leaves(jax.device_get(loop_flat._ema_tree(0))),
+        ):
+            np.testing.assert_allclose(vf, vt, rtol=1e-6, atol=1e-8)
+
+        # optimizer step count advanced (schedule parity depends on it)
+        assert int(jax.device_get(loop_flat.opt_state["count"])) == 2
+
+    @pytest.mark.slow
+    def test_checkpoint_roundtrip_and_resume(self):
+        mesh = create_mesh()
+        loop = make_loop(mesh, batch_size=8, opt_impl="flat")
+        _steps(loop, 2, 8)
+        loop.step = 1  # save under step 1
+        loop.save()
+        run_dir = logger.get_dir()
+
+        model_path = os.path.join(run_dir, ckpt.checkpoint_name("model", 1))
+        assert os.path.exists(model_path)
+        # ema checkpoint format parity: a param-TREE on disk, loadable by the
+        # same load_params the sampling CLIs use
+        ema_path = ckpt.find_ema_checkpoint(model_path, 1, loop.ema_rate[0])
+        assert ema_path, "ema checkpoint missing"
+        ema_tree = ckpt.load_params(ema_path, jax.device_get(loop._ema_tree(0)))
+        for va, vb in zip(
+            jax.tree_util.tree_leaves(ema_tree),
+            jax.tree_util.tree_leaves(jax.device_get(loop._ema_tree(0))),
+        ):
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+        # resume into a fresh flat loop: params/ema/opt (incl. count) restored
+        resumed = make_loop(
+            mesh, batch_size=8, opt_impl="flat", resume_checkpoint=model_path
+        )
+        assert resumed.resume_step == 1
+        for va, vb in zip(
+            jax.tree_util.tree_leaves(jax.device_get(resumed.params)),
+            jax.tree_util.tree_leaves(jax.device_get(loop.params)),
+        ):
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(resumed.ema_params[0])),
+            np.asarray(jax.device_get(loop.ema_params[0])),
+        )
+        assert int(jax.device_get(resumed.opt_state["count"])) == 2
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(resumed.opt_state["m"])),
+            np.asarray(jax.device_get(loop.opt_state["m"])),
+        )
+
+
+def test_flat_rejects_fsdp():
+    mesh = create_mesh()
+    with pytest.raises(ValueError, match="FSDP"):
+        make_loop(mesh, batch_size=8, opt_impl="flat", param_sharding="fsdp")
