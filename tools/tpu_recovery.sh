@@ -11,6 +11,8 @@
 #   4. on-chip int8 chain-level quality (tools/int8_chain_quality.py defaults)
 #   5. int8 *training forward* step time (TSB_CONV_IMPL=int8), the one
 #      opt-in train upgrade still unmeasured on-chip
+#   6. flat-buffer optimizer step time (TSB_OPT_IMPL=flat) vs the per-leaf
+#      tree default — the ~33ms opt/EMA-tail lever
 #
 # Usage: bash tools/tpu_recovery.sh   (from the repo root; ambient axon env)
 
@@ -44,6 +46,7 @@ run bench      1300 env BENCH_WATCHDOG_SECS=1200 python bench.py
 run tsb64      1200 python tools/train_step_bench.py
 run tsb128     1500 env TSB_CONFIG=fork128 python tools/train_step_bench.py
 run tsb64_int8 1200 env TSB_CONV_IMPL=int8 python tools/train_step_bench.py
+run tsb64_flat 1200 env TSB_OPT_IMPL=flat python tools/train_step_bench.py
 run chainq     2400 python tools/int8_chain_quality.py
 # DeepCache: throughput + same-seed fidelity vs the uncached guided chain
 run deepcache  2400 python tools/deep_cache_bench.py

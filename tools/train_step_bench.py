@@ -7,7 +7,8 @@ data point behind the v5e-16 training-config claim in BASELINE.md.
 Usage: python tools/train_step_bench.py
 Env: TSB_BATCH (32), TSB_MICRO (16), TSB_IMAGE_SIZE (64), TSB_REPEATS (5),
 TSB_CONFIG (readme64 | fork128), TSB_CONV_IMPL (xla | int8 — the
---train_conv_impl quantized-forward path). fork128 = the fork's ACTUAL training
+--train_conv_impl quantized-forward path), TSB_OPT_IMPL (tree | flat — the
+--opt_impl single-buffer fused AdamW+EMA path). fork128 = the fork's ACTUAL training
 recipe (reference config.yaml:28-32: 128px FFHQ, ch64, 2 res blocks,
 1 head, batch 48, CLIP-embedding conditioning via the clip_feat MLP) —
 the configuration the 128px training claim must be measured at.
@@ -101,10 +102,11 @@ def main():
         )
     )["params"]
 
+    opt_impl = os.environ.get("TSB_OPT_IMPL", "tree")
     loop = TrainLoop(
         model=model, diffusion=diffusion, data=data_iter(), batch_size=B,
         microbatch=micro, lr=1e-4, ema_rate=0.9999, log_interval=10**9,
-        save_interval=10**9, init_params=init_params,
+        save_interval=10**9, init_params=init_params, opt_impl=opt_impl,
     )
 
     batch, cond = next(loop.data)
@@ -137,6 +139,8 @@ def main():
     )
     if conv_impl != "xla":
         desc += f" [conv_impl={conv_impl}]"
+    if opt_impl != "tree":
+        desc += f" [opt_impl={opt_impl}]"
     print(json.dumps({
         "config": f"{desc} train step, batch {B} (micro {micro}), bf16",
         "ms_per_step": round(best * 1000, 1),
