@@ -353,7 +353,55 @@ class TrainLoop:
         )
         if opt_path.endswith(".flax") and ckpt.bf_io.exists(opt_path):
             logger.log(f"loading optimizer state from checkpoint: {opt_path}")
-            self.opt_state = ckpt.load_flax(opt_path, self.opt_state)
+            self._load_opt_checkpoint(opt_path)
+
+    def _load_opt_checkpoint(self, path):
+        """Restore optimizer state, converting across opt_impl layouts.
+
+        A run can be resumed with a different --opt_impl than it was saved
+        with: the tree layout is optax.adamw's chain state, the flat layout
+        is {count, m, v} raveled vectors. Both carry the same Adam moments,
+        so a structure mismatch is repaired by (un)raveling rather than
+        refusing the resume.
+        """
+        try:
+            self.opt_state = ckpt.load_flax(path, self.opt_state)
+            return
+        except Exception:
+            logger.log(
+                f"opt checkpoint layout at {path} does not match "
+                f"opt_impl={self.opt_impl!r}; converting"
+            )
+        if self.opt_impl == "flat":
+            tree_state = ckpt.load_flax(path, self.opt.init(self.params))
+            adam = next(
+                s for s in tree_state if isinstance(s, optax.ScaleByAdamState)
+            )
+            self.opt_state = {
+                "count": jnp.asarray(adam.count),
+                "m": self._ravel_jit(adam.mu),
+                "v": self._ravel_jit(adam.nu),
+            }
+        else:
+            flat_p, unravel = jax.flatten_util.ravel_pytree(self.params)
+            flat_template = {
+                "count": np.zeros((), np.int32),
+                "m": np.zeros_like(flat_p),
+                "v": np.zeros_like(flat_p),
+            }
+            fs = ckpt.load_flax(path, flat_template)
+            count = jnp.asarray(fs["count"])
+
+            def fix(s):
+                if isinstance(s, optax.ScaleByAdamState):
+                    return s._replace(
+                        count=count, mu=unravel(fs["m"]), nu=unravel(fs["v"])
+                    )
+                if isinstance(s, optax.ScaleByScheduleState):
+                    return s._replace(count=count)
+                return s
+
+            self.opt_state = tuple(fix(s) for s in self.opt.init(self.params))
 
     def _place_state(self):
         if self.param_sharding == "fsdp":

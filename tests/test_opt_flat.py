@@ -112,6 +112,51 @@ class TestFlatMatchesTree:
         )
 
 
+@pytest.mark.slow
+def test_resume_across_opt_impls():
+    """A run saved with one --opt_impl resumes under the other: the Adam
+    moments are (un)raveled across layouts instead of refusing the resume."""
+    import jax.flatten_util
+
+    mesh = create_mesh()
+    loop = make_loop(mesh, batch_size=8)  # tree
+    _steps(loop, 2, 8)
+    loop.step = 1
+    loop.save()
+    model_path = os.path.join(logger.get_dir(), ckpt.checkpoint_name("model", 1))
+
+    # tree save -> flat resume
+    flat = make_loop(mesh, batch_size=8, opt_impl="flat", resume_checkpoint=model_path)
+    import optax
+
+    adam = next(
+        s for s in jax.device_get(loop.opt_state)
+        if isinstance(s, optax.ScaleByAdamState)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(flat.opt_state["m"])),
+        np.asarray(jax.flatten_util.ravel_pytree(adam.mu)[0]),
+    )
+    assert int(jax.device_get(flat.opt_state["count"])) == int(adam.count)
+
+    # flat save -> tree resume (flat.resume_step is 1, so save lands at 1+1=2)
+    flat.step = 1
+    flat.save()
+    flat_model = os.path.join(logger.get_dir(), ckpt.checkpoint_name("model", 2))
+    tree = make_loop(mesh, batch_size=8, resume_checkpoint=flat_model)
+    adam2 = next(
+        s for s in jax.device_get(tree.opt_state)
+        if isinstance(s, optax.ScaleByAdamState)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.flatten_util.ravel_pytree(adam2.mu)[0]),
+        np.asarray(jax.device_get(flat.opt_state["m"])),
+    )
+    assert int(adam2.count) == int(jax.device_get(flat.opt_state["count"]))
+    # both resumed loops still step
+    _steps(tree, 1, 8)
+
+
 def test_flat_rejects_fsdp():
     mesh = create_mesh()
     with pytest.raises(ValueError, match="FSDP"):
