@@ -76,7 +76,7 @@ class Diffusion:
             return S.p_sample_loop_progressive(
                 self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
                 init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
-                model_kwargs=model_kwargs,
+                model_kwargs=model_kwargs, model_state0=model_state0,
             )
         return S.p_sample_loop(
             self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
@@ -94,7 +94,7 @@ class Diffusion:
             return S.ddim_sample_loop_progressive(
                 self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
                 init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
-                model_kwargs=model_kwargs,
+                model_kwargs=model_kwargs, model_state0=model_state0,
             )
         return S.ddim_sample_loop(
             self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,

@@ -243,7 +243,10 @@ def p_sample_loop_progressive(sched, model_fn, shape, rng, **kw):
     """
     return _scan_loop(
         p_sample_step, sched, model_fn, shape, rng, progressive=True,
-        **{k: kw.get(k) for k in ("noise", "init_image", "cond_fn", "denoised_fn", "model_kwargs")},
+        **{k: kw.get(k) for k in (
+            "noise", "init_image", "cond_fn", "denoised_fn", "model_kwargs",
+            "model_state0",
+        )},
         cfg=kw.get("cfg", SamplerConfig()),
     )
 
@@ -274,7 +277,10 @@ def ddim_sample_loop(
 def ddim_sample_loop_progressive(sched, model_fn, shape, rng, **kw):
     return _scan_loop(
         ddim_step, sched, model_fn, shape, rng, progressive=True,
-        **{k: kw.get(k) for k in ("noise", "init_image", "cond_fn", "denoised_fn", "model_kwargs")},
+        **{k: kw.get(k) for k in (
+            "noise", "init_image", "cond_fn", "denoised_fn", "model_kwargs",
+            "model_state0",
+        )},
         cfg=kw.get("cfg", SamplerConfig()),
     )
 

@@ -119,18 +119,37 @@ def setup_from_flag(spatial_shard: int, batch_size: int) -> Mesh | None:
     if not spatial_shard or spatial_shard <= 1:
         clear_spatial_sharding()
         return None
+    from ..utils import logger
     from .mesh import create_mesh
 
-    devices = _jax.devices()
+    # Sampling CLIs feed process-LOCAL batches into jit (each process samples
+    # its own rows and all-gathers at the end, reference image_sample.py:106),
+    # so the SP mesh must span only THIS process's devices — a global mesh
+    # would hand jit non-addressable devices for host-local inputs. Training
+    # (TrainLoop) builds its own global mesh and assembles global arrays via
+    # shard_batch instead of going through this helper.
+    devices = _jax.local_devices() if _jax.process_count() > 1 else _jax.devices()
     n, s = len(devices), int(spatial_shard)
-    assert n % s == 0, f"--spatial_shard {s} does not divide {n} devices"
+    assert n % s == 0, f"--spatial_shard {s} does not divide {n} local devices"
     d = n // s
     if d > 1 and batch_size % d == 0:
-        mesh = create_mesh(axes=(("data", d), ("space", s)))
+        mesh = create_mesh(axes=(("data", d), ("space", s)), devices=devices)
         set_spatial_sharding(mesh)
+        logger.log(
+            f"spatial sharding: ('data',{d}) x ('space',{s}) over {n} devices"
+        )
     else:
         mesh = create_mesh(axes=(("space", s),), devices=devices[:s])
         set_spatial_sharding(mesh, data_axis=None)
+        msg = f"spatial sharding: pure ('space',{s}) latency mesh"
+        if s < n:
+            # the degraded case must be VISIBLE: the other n-s devices idle
+            msg += (
+                f" — batch {batch_size} does not shard over data={d}, so "
+                f"{n - s} of {n} devices sit idle; pick batch_size divisible "
+                f"by {d} (or spatial_shard={n}) to use the whole pool"
+            )
+        logger.log(msg)
     return mesh
 
 

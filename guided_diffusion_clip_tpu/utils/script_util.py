@@ -472,6 +472,30 @@ def args_to_dict(args, keys):
     return {k: getattr(args, k) for k in keys}
 
 
+def resolve_sampler(diffusion, args, *, honor_use_ddim=True):
+    """Map a sampling CLI's flags to the diffusion loop function.
+
+    Reference semantics first (`--use_ddim` picks ddim vs ancestral,
+    image_sample.py:82-84; super_res_sample ignores it → honor_use_ddim=False),
+    then the beyond-reference `--sampler {ancestral,ddim,dpm++2m}` override.
+    Shared by all sampling CLIs so new samplers land everywhere at once.
+    """
+    loop = diffusion.p_sample_loop
+    if honor_use_ddim and getattr(args, "use_ddim", False):
+        loop = diffusion.ddim_sample_loop
+    name = getattr(args, "sampler", "")
+    if name:
+        samplers = {
+            "ancestral": diffusion.p_sample_loop,
+            "ddim": diffusion.ddim_sample_loop,
+            "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
+        }
+        if name not in samplers:
+            raise SystemExit(f"--sampler {name!r}: choose from {sorted(samplers)}")
+        loop = samplers[name]
+    return loop
+
+
 def str2bool(v):
     if isinstance(v, bool):
         return v

@@ -34,6 +34,7 @@ from guided_diffusion_clip_tpu.utils.script_util import (
     create_upstream_model,
     model_and_diffusion_defaults,
     parse_yaml,
+    resolve_sampler,
 )
 
 
@@ -83,18 +84,8 @@ def main():
         args.classifier_path, ctemplate, model="encoder", pool=args.classifier_pool
     )
 
-    loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
-    if getattr(args, "sampler", ""):
-        # beyond-reference sampler selection; --use_ddim keeps working.
-        # dpm++2m accepts cond_fn, so classifier guidance composes with it.
-        samplers = {
-            "ancestral": diffusion.p_sample_loop,
-            "ddim": diffusion.ddim_sample_loop,
-            "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
-        }
-        if args.sampler not in samplers:
-            raise SystemExit(f"--sampler {args.sampler!r}: choose from {sorted(samplers)}")
-        loop = samplers[args.sampler]
+    # dpm++2m accepts cond_fn, so classifier guidance composes with it
+    loop = resolve_sampler(diffusion, args)
 
     deep_cache_n = int(getattr(args, "deep_cache", 0))
     deep_cut = int(getattr(args, "deep_cache_cut", 0))

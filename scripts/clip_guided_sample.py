@@ -46,6 +46,7 @@ from guided_diffusion_clip_tpu.utils.script_util import (
     create_model_and_diffusion,
     model_and_diffusion_defaults,
     parse_yaml,
+    resolve_sampler,
 )
 
 
@@ -195,18 +196,7 @@ def main():
                 var_type=diffusion.var_type, model_fn=model_fn,
                 use_pred_xstart=args.grad_through_pred_xstart,
             )
-            loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
-            if getattr(args, "sampler", ""):
-                samplers = {
-                    "ancestral": diffusion.p_sample_loop,
-                    "ddim": diffusion.ddim_sample_loop,
-                    "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
-                }
-                if args.sampler not in samplers:
-                    raise SystemExit(
-                        f"--sampler {args.sampler!r}: choose from {sorted(samplers)}"
-                    )
-                loop = samplers[args.sampler]
+            loop = resolve_sampler(diffusion, args)
             return loop(
                 loop_model_fn, shape, key,
                 clip_denoised=args.clip_denoised, cond_fn=cond_fn,

@@ -42,6 +42,7 @@ from guided_diffusion_clip_tpu.utils.script_util import (
     load_folder_path_parse,
     model_and_diffusion_defaults,
     parse_yaml,
+    resolve_sampler,
 )
 
 
@@ -105,19 +106,7 @@ def main():
         dsp = min(int(round(dsp * T / diffusion.sched.original_num_steps)), T)
         logger.log(f"denoise_start_point {args.denoise_start_point} -> respaced step {dsp}")
 
-    loop = diffusion.p_sample_loop if not args.use_ddim else diffusion.ddim_sample_loop
-    if getattr(args, "sampler", ""):
-        # beyond-reference sampler selection; --use_ddim keeps working
-        samplers = {
-            "ancestral": diffusion.p_sample_loop,
-            "ddim": diffusion.ddim_sample_loop,
-            "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
-        }
-        if args.sampler not in samplers:
-            raise SystemExit(
-                f"--sampler {args.sampler!r}: choose from {sorted(samplers)}"
-            )
-        loop = samplers[args.sampler]
+    loop = resolve_sampler(diffusion, args)
 
     # One jitted program for the entire denoise chain (eager dispatch is
     # pathologically slow on remote-attached TPUs); params travel as jit

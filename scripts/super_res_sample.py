@@ -27,6 +27,7 @@ from guided_diffusion_clip_tpu.utils.script_util import (
     add_dict_to_argparser,
     args_to_dict,
     parse_yaml,
+    resolve_sampler,
     sr_create_model_and_diffusion,
     sr_model_and_diffusion_defaults,
 )
@@ -103,16 +104,7 @@ def main():
     # reference parity: super_res_sample always runs the ancestral chain
     # (scripts/super_res_sample.py ignores use_ddim); --sampler is the
     # beyond-reference opt-in for ddim / dpm++2m fast chains
-    loop = diffusion.p_sample_loop
-    if getattr(args, "sampler", ""):
-        samplers = {
-            "ancestral": diffusion.p_sample_loop,
-            "ddim": diffusion.ddim_sample_loop,
-            "dpm++2m": diffusion.dpm_solver_pp_2m_loop,
-        }
-        if args.sampler not in samplers:
-            raise SystemExit(f"--sampler {args.sampler!r}: choose from {sorted(samplers)}")
-        loop = samplers[args.sampler]
+    loop = resolve_sampler(diffusion, args, honor_use_ddim=False)
 
     @jax.jit
     def run_chain(params, key, model_kwargs):

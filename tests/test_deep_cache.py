@@ -193,3 +193,46 @@ class TestCachedChains:
         # the cached chain must stay in the same ballpark (it is an
         # approximation, not an identity)
         assert np.abs(got - ref).mean() < 0.5 * np.abs(ref).mean() + 0.1
+
+
+class TestProgressiveStateful:
+    def test_progressive_forwards_model_state0(self, setup):
+        """progressive=True must thread model_state0 like the plain loops do
+        (the api/sampling wrappers used to drop it -> TypeError at trace)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        model, params, x, t = setup
+        shape = x.shape
+        key = jax.random.key(11)
+
+        def apply_full(x_, t_, **kw):
+            return model.apply({"params": params}, x_, t_, cache_mode="full", **kw)
+
+        def apply_shallow(x_, t_, deep, **kw):
+            return model.apply(
+                {"params": params}, x_, t_, deep_cache=deep, cache_mode="shallow", **kw
+            )
+
+        sfn = deep_cache_model_fn(apply_full, apply_shallow, 1)
+        state0 = zero_state(
+            apply_full, jnp.zeros(shape), jnp.zeros((shape[0],), jnp.int32)
+        )
+
+        def plain_fn(x_, t_, **kw):
+            return model.apply({"params": params}, x_, t_, **kw)
+
+        diffusion = create_gaussian_diffusion(
+            steps=6, noise_schedule="cosine", learn_sigma=True
+        )
+        for loop in ("p_sample_loop", "ddim_sample_loop"):
+            ref = getattr(diffusion, loop)(plain_fn, shape, key, clip_denoised=True)
+            final, (samples, xstarts) = getattr(diffusion, loop)(
+                sfn, shape, key, clip_denoised=True,
+                progressive=True, model_state0=state0,
+            )
+            assert samples.shape[0] == diffusion.num_timesteps
+            np.testing.assert_allclose(
+                np.asarray(final), np.asarray(ref), rtol=1e-5, atol=1e-6
+            )
