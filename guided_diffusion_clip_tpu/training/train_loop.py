@@ -178,6 +178,11 @@ class TrainLoop:
                 mesh = create_mesh(axes=(("data", d), ("space", spatial_shard)))
             assert "space" in mesh.axis_names, mesh.axis_names
             sp.set_spatial_sharding(mesh)
+        elif sp.active():
+            # process-global SP left on by a previous loop/CLI in this process
+            # would make OUR trace pin activations to the stale (data, space)
+            # mesh; own the cleanup here (mirrors sp.setup_from_flag on <=1)
+            sp.clear_spatial_sharding()
         # the mesh shards the GLOBAL batch (per-process batches are assembled
         # into one global array by shard_batch under multi-process)
         self.mesh = mesh if mesh is not None else create_data_mesh(self.global_batch)
@@ -200,10 +205,22 @@ class TrainLoop:
         # of extra bandwidth to get single-buffer elementwise passes.
         # Not composed with FSDP: dimension-sharded leaves cannot share one
         # contiguous vector without resharding every step.
-        assert opt_impl in ("tree", "flat"), opt_impl
-        if opt_impl == "flat" and param_sharding == "fsdp":
-            raise ValueError("opt_impl='flat' does not compose with FSDP sharding")
+        # "zero1": flat math with the m/v/EMA vectors SHARDED over the mesh
+        # (ZeRO-1) — params stay replicated (unlike FSDP), so the model
+        # forward is untouched while optimizer+EMA memory drops to 1/N per
+        # chip ((2 + n_ema_rates) x 4 bytes/param otherwise). XLA turns the
+        # grad all-reduce into reduce-scatter + all-gather of the updated
+        # param vector; the shard-wise update runs at 1/N the bandwidth.
+        assert opt_impl in ("tree", "flat", "zero1"), opt_impl
+        if opt_impl != "tree" and param_sharding == "fsdp":
+            raise ValueError(
+                f"opt_impl={opt_impl!r} does not compose with FSDP sharding"
+            )
         self.opt_impl = opt_impl
+        # both flat-buffer impls share math and on-disk layout; they differ
+        # only in where the buffers live
+        self._flat_math = opt_impl in ("flat", "zero1")
+        self._opt_layout = "flat" if self._flat_math else "tree"
         assert ckpt_backend in ("flax", "orbax"), ckpt_backend
         self.ckpt_backend = ckpt_backend
         self._orbax = None  # created lazily at first save (needs the run dir)
@@ -274,13 +291,14 @@ class TrainLoop:
             schedule = self.lr
         self.opt = optax.adamw(learning_rate=schedule, weight_decay=self.weight_decay)
         self._lr_schedule = schedule
-        if self.opt_impl == "flat":
+        if self._flat_math:
             leaves = jax.tree_util.tree_leaves(self.params)
             assert all(x.dtype == jnp.float32 for x in leaves), (
-                "opt_impl='flat' ravels all params into one f32 vector; "
+                f"opt_impl={self.opt_impl!r} ravels all params into one f32 vector; "
                 "found non-f32 leaves"
             )
             flat, self._unravel = jax.flatten_util.ravel_pytree(self.params)
+            self._flat_len = int(flat.size)
             self._ravel_jit = jax.jit(lambda t: jax.flatten_util.ravel_pytree(t)[0])
             self._unravel_jit = jax.jit(self._unravel)
             # same structure the tree path's save/restore template logic
@@ -298,10 +316,26 @@ class TrainLoop:
             ]
 
     def _ema_tree(self, i):
-        """EMA state as a param-tree (opt_impl='flat' keeps it raveled)."""
-        if self.opt_impl == "flat":
-            return self._unravel_jit(self.ema_params[i])
+        """EMA state as a param-tree (flat/zero1 impls keep it raveled)."""
+        if self._flat_math:
+            return self._unravel_jit(self._strip_pad(self.ema_params[i]))
         return self.ema_params[i]
+
+    def _strip_pad(self, vec):
+        """Drop zero1's device padding (vectors are padded to a multiple of
+        the mesh size so device_put can shard them evenly)."""
+        return vec[: self._flat_len] if vec.shape[0] != self._flat_len else vec
+
+    def _opt_state_for_save(self):
+        """Opt state in the on-disk flat layout — identical across opt_impl
+        flat/zero1, so runs resume across the two freely."""
+        if self._flat_math and self.opt_state["m"].shape[0] != self._flat_len:
+            return {
+                "count": self.opt_state["count"],
+                "m": self._strip_pad(self.opt_state["m"]),
+                "v": self._strip_pad(self.opt_state["v"]),
+            }
+        return self.opt_state
 
     def _maybe_resume(self):
         resume = self.resume_checkpoint or find_resume_checkpoint()
@@ -313,11 +347,23 @@ class TrainLoop:
             step = box.latest_step()
             if step is None:
                 raise FileNotFoundError(f"no orbax checkpoints under {resume}")
+            saved_layout = self._orbax_saved_opt_layout(box, step)
+            if saved_layout != self._opt_layout:
+                logger.log(
+                    f"orbax opt state at step {step} is {saved_layout!r}-layout; "
+                    f"converting to opt_impl={self.opt_impl!r}"
+                )
             template = {
                 "model": self.params,
                 # ema checkpoints are param-trees on disk in both opt impls
                 **{f"ema_{rate}": self.params for rate in self.ema_rate},
-                "opt": self.opt_state,
+                # restore in the SAVED layout, then convert (resuming across
+                # --opt_impl must work for orbax runs like it does for flax)
+                "opt": (
+                    self.opt_state if saved_layout == self._opt_layout
+                    else self._flat_opt_template() if saved_layout == "flat"
+                    else self.opt.init(self.params)
+                ),
             }
             logger.log(f"loading orbax checkpoint {resume} step {step}...")
             tree = box.restore(step, template)
@@ -325,11 +371,11 @@ class TrainLoop:
             self.resume_step = int(step)
             self.params = tree["model"]
             self.ema_params = [
-                self._ravel_jit(tree[f"ema_{r}"]) if self.opt_impl == "flat"
+                self._ravel_jit(tree[f"ema_{r}"]) if self._flat_math
                 else tree[f"ema_{r}"]
                 for r in self.ema_rate
             ]
-            self.opt_state = tree["opt"]
+            self.opt_state = self._convert_opt_state(tree["opt"], saved_layout)
             return
         self.resume_step = ckpt.parse_resume_step_from_filename(resume)
         logger.log(f"loading model from checkpoint: {resume}... (step {self.resume_step})")
@@ -341,9 +387,9 @@ class TrainLoop:
                 logger.log(f"loading EMA from checkpoint: {path}...")
                 tree = ckpt.load_params(path, self._ema_tree(i))
                 self.ema_params[i] = (
-                    self._ravel_jit(tree) if self.opt_impl == "flat" else tree
+                    self._ravel_jit(tree) if self._flat_math else tree
                 )
-            elif self.opt_impl == "flat":
+            elif self._flat_math:
                 self.ema_params[i] = self._ravel_jit(self.params)
             else:
                 self.ema_params[i] = jax.tree_util.tree_map(jnp.copy, self.params)
@@ -355,53 +401,92 @@ class TrainLoop:
             logger.log(f"loading optimizer state from checkpoint: {opt_path}")
             self._load_opt_checkpoint(opt_path)
 
-    def _load_opt_checkpoint(self, path):
-        """Restore optimizer state, converting across opt_impl layouts.
+    _FLAT_OPT_KEYS = frozenset({"count", "m", "v"})
 
-        A run can be resumed with a different --opt_impl than it was saved
-        with: the tree layout is optax.adamw's chain state, the flat layout
-        is {count, m, v} raveled vectors. Both carry the same Adam moments,
-        so a structure mismatch is repaired by (un)raveling rather than
-        refusing the resume.
-        """
+    def _orbax_saved_opt_layout(self, box, step):
+        """Which opt LAYOUT an orbax step holds: sniffed from structure-only
+        metadata (flat/zero1 save exactly {count, m, v} under 'opt'). Falls
+        back to the current layout if the metadata shape is unrecognizable —
+        the restore then validates structure loudly anyway."""
         try:
-            self.opt_state = ckpt.load_flax(path, self.opt_state)
-            return
+            opt_meta = box.item_metadata(step)["opt"]
         except Exception:
-            logger.log(
-                f"opt checkpoint layout at {path} does not match "
-                f"opt_impl={self.opt_impl!r}; converting"
-            )
-        if self.opt_impl == "flat":
-            tree_state = ckpt.load_flax(path, self.opt.init(self.params))
+            return self._opt_layout
+        if isinstance(opt_meta, (list, tuple)):
+            return "tree"  # the optax chain tuple; flat is always a dict
+        try:
+            keys = set(opt_meta.keys())
+        except AttributeError:
+            return self._opt_layout
+        return "flat" if keys == self._FLAT_OPT_KEYS else "tree"
+
+    def _flat_opt_template(self):
+        flat_p, _ = jax.flatten_util.ravel_pytree(self.params)
+        return {
+            "count": np.zeros((), np.int32),
+            "m": np.zeros_like(flat_p),
+            "v": np.zeros_like(flat_p),
+        }
+
+    def _convert_opt_state(self, loaded, saved_layout):
+        """Adopt an optimizer state saved under `saved_layout` into this
+        loop's opt_impl. The tree layout is optax.adamw's chain state, the
+        flat layout (shared by opt_impl flat and zero1) is {count, m, v}
+        raveled vectors; both carry the same Adam moments, so a layout
+        mismatch is repaired by (un)raveling rather than refusing the
+        resume."""
+        if saved_layout == self._opt_layout:
+            return loaded
+        if self._opt_layout == "flat":
             adam = next(
-                s for s in tree_state if isinstance(s, optax.ScaleByAdamState)
+                s for s in loaded if isinstance(s, optax.ScaleByAdamState)
             )
-            self.opt_state = {
+            return {
                 "count": jnp.asarray(adam.count),
                 "m": self._ravel_jit(adam.mu),
                 "v": self._ravel_jit(adam.nu),
             }
-        else:
-            flat_p, unravel = jax.flatten_util.ravel_pytree(self.params)
-            flat_template = {
-                "count": np.zeros((), np.int32),
-                "m": np.zeros_like(flat_p),
-                "v": np.zeros_like(flat_p),
-            }
-            fs = ckpt.load_flax(path, flat_template)
-            count = jnp.asarray(fs["count"])
+        flat_p, unravel = jax.flatten_util.ravel_pytree(self.params)
+        count = jnp.asarray(loaded["count"])
 
-            def fix(s):
-                if isinstance(s, optax.ScaleByAdamState):
-                    return s._replace(
-                        count=count, mu=unravel(fs["m"]), nu=unravel(fs["v"])
-                    )
-                if isinstance(s, optax.ScaleByScheduleState):
-                    return s._replace(count=count)
-                return s
+        def fix(s):
+            if isinstance(s, optax.ScaleByAdamState):
+                return s._replace(
+                    count=count, mu=unravel(loaded["m"]), nu=unravel(loaded["v"])
+                )
+            if isinstance(s, optax.ScaleByScheduleState):
+                return s._replace(count=count)
+            return s
 
-            self.opt_state = tuple(fix(s) for s in self.opt.init(self.params))
+        return tuple(fix(s) for s in self.opt.init(self.params))
+
+    def _load_opt_checkpoint(self, path):
+        """Restore optimizer state, converting across opt_impl layouts.
+
+        The saved layout is sniffed from the raw msgpack structure (flat =
+        exactly {count, m, v}) instead of try/except on a typed load, so IO
+        errors and wrong-model shapes stay loud instead of being misread as
+        a layout mismatch."""
+        raw = ckpt.peek_flax(path)
+        saved_layout = (
+            "flat"
+            if isinstance(raw, dict) and set(raw) == self._FLAT_OPT_KEYS
+            else "tree"
+        )
+        if saved_layout == self._opt_layout:
+            self.opt_state = ckpt.load_flax(path, self.opt_state)
+            return
+        logger.log(
+            f"opt checkpoint {path} is {saved_layout!r}-layout; converting to "
+            f"opt_impl={self.opt_impl!r}"
+        )
+        template = (
+            self._flat_opt_template() if saved_layout == "flat"
+            else self.opt.init(self.params)
+        )
+        self.opt_state = self._convert_opt_state(
+            ckpt.load_flax(path, template), saved_layout
+        )
 
     def _place_state(self):
         if self.param_sharding == "fsdp":
@@ -425,6 +510,42 @@ class TrainLoop:
             self.ema_params = [
                 shard_tree(e, s) for e, s in zip(self.ema_params, self._ema_shd)
             ]
+        elif self.opt_impl == "zero1":
+            # ZeRO-1: params replicated (model compute untouched), but the
+            # flat m/v/EMA vectors sharded over the whole pool — optimizer
+            # state memory drops to 1/N per chip and the elementwise update
+            # runs at 1/N bandwidth. GSPMD turns the grad all-reduce into
+            # reduce-scatter + a single all-gather of the updated params.
+            # Vectors are zero-padded to a multiple of the mesh size (eager
+            # device_put needs even shards); padding tails stay zero under
+            # the Adam update and are stripped at save/unravel time.
+            axes = (
+                ("data", "space") if "space" in self.mesh.axis_names else "data"
+            )
+            shards = int(np.prod([self.mesh.shape[a] for a in (
+                axes if isinstance(axes, tuple) else (axes,)
+            )]))
+            self._zero1_pad = (-self._flat_len) % shards
+            self._zero1_shd = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(axes)
+            )
+
+            def pad_shard(v):
+                v = jnp.asarray(v)
+                if self._zero1_pad:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((self._zero1_pad,), v.dtype)]
+                    )
+                return jax.device_put(v, self._zero1_shd)
+
+            self._param_shd = self._opt_shd = self._ema_shd = None
+            self.params = replicate(self.mesh, self.params)
+            self.opt_state = {
+                "count": replicate(self.mesh, self.opt_state["count"]),
+                "m": pad_shard(self.opt_state["m"]),
+                "v": pad_shard(self.opt_state["v"]),
+            }
+            self.ema_params = [pad_shard(e) for e in self.ema_params]
         else:
             self._param_shd = self._opt_shd = self._ema_shd = None
             self.params = replicate(self.mesh, self.params)
@@ -436,10 +557,12 @@ class TrainLoop:
         model = self.model
         diffusion = self.diffusion
         opt = self.opt
-        opt_impl = self.opt_impl
+        flat_math = self._flat_math
+        zero1_shd = getattr(self, "_zero1_shd", None)
+        zero1_pad = getattr(self, "_zero1_pad", 0)
         lr_schedule = self._lr_schedule
         weight_decay = self.weight_decay
-        unravel = self._unravel if opt_impl == "flat" else None
+        unravel = self._unravel if self._flat_math else None
         ema_rates = tuple(self.ema_rate)
         n_micro = self.n_micro
         # the step sees the GLOBAL batch: world * per-process microbatch rows
@@ -510,7 +633,7 @@ class TrainLoop:
                 scan_body, zero_grads, ((mb[0], mb[1], mb[2], mb[3]), rngs)
             )
 
-            if opt_impl == "flat":
+            if flat_math:
                 # single-buffer AdamW + EMA: exact optax.adamw math (chain of
                 # scale_by_adam b1=.9 b2=.999 eps=1e-8 -> add_decayed_weights
                 # -> -schedule(count)) on raveled vectors. One fused
@@ -518,6 +641,15 @@ class TrainLoop:
                 # kernels x ~500 leaves (tools/opt_tail_probe.py).
                 fg = jax.flatten_util.ravel_pytree(grads)[0]
                 fp = jax.flatten_util.ravel_pytree(params)[0]
+                if zero1_shd is not None:
+                    # ZeRO-1: pad to the stored (evenly-shardable) length and
+                    # pin the grad vector to the shard layout so the DP grad
+                    # sync lowers to reduce-scatter; the whole update runs
+                    # shard-wise (m/v/ema enter already sharded), and only
+                    # the UPDATED param vector is all-gathered at the end.
+                    fg = jnp.pad(fg, (0, zero1_pad)) if zero1_pad else fg
+                    fp = jnp.pad(fp, (0, zero1_pad)) if zero1_pad else fp
+                    fg = jax.lax.with_sharding_constraint(fg, zero1_shd)
                 grad_norm = jnp.linalg.norm(fg)
                 param_norm = jnp.linalg.norm(fp)
                 count = opt_state["count"]
@@ -529,11 +661,22 @@ class TrainLoop:
                 v_hat = v / (1.0 - 0.999 ** c1)
                 upd = m_hat / (jnp.sqrt(v_hat) + 1e-8) + weight_decay * fp
                 fp = fp - lr_t * upd
+                if zero1_shd is not None:
+                    m = jax.lax.with_sharding_constraint(m, zero1_shd)
+                    v = jax.lax.with_sharding_constraint(v, zero1_shd)
                 opt_state = {"count": c1, "m": m, "v": v}
                 ema_params = tuple(
                     e + (1.0 - rate) * (fp - e)
                     for e, rate in zip(ema_params, ema_rates)
                 )
+                if zero1_shd is not None:
+                    ema_params = tuple(
+                        jax.lax.with_sharding_constraint(e, zero1_shd)
+                        for e in ema_params
+                    )
+                    fp = jax.lax.with_sharding_constraint(fp, rep_shd)
+                    if zero1_pad:
+                        fp = fp[:-zero1_pad]
                 params = unravel(fp)
             else:
                 grad_norm = _global_norm(grads)
@@ -707,7 +850,7 @@ class TrainLoop:
                     f"ema_{rate}": self._ema_tree(i)
                     for i, rate in enumerate(self.ema_rate)
                 },
-                "opt": self.opt_state,
+                "opt": self._opt_state_for_save(),
             }
             self._orbax.save(step, tree)
             return
@@ -721,7 +864,7 @@ class TrainLoop:
                 (ckpt.checkpoint_name("ema", step, rate), self._ema_tree(i))
                 for i, rate in enumerate(self.ema_rate)
             ),
-            (ckpt.checkpoint_name("opt", step), self.opt_state),
+            (ckpt.checkpoint_name("opt", step), self._opt_state_for_save()),
         ]
         if pdist.is_primary():
             logger.log(f"saving model at step {step}...")

@@ -80,6 +80,15 @@ def load_flax(path: str, template):
         return serialization.from_bytes(template, f.read())
 
 
+def peek_flax(path: str):
+    """The raw msgpack state dict, no template — for sniffing a checkpoint's
+    LAYOUT (e.g. which --opt_impl wrote an opt file) before committing to a
+    typed template. Corrupt/truncated files fail loudly here instead of being
+    misread as a layout mismatch."""
+    with bf_io.open_file(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
 def checkpoint_name(kind: str, step: int, ema_rate: float | str | None = None, ext: str = "flax") -> str:
     """Reference filename scheme (train_util.py:249-251)."""
     if kind == "model":
@@ -170,6 +179,10 @@ class OrbaxCheckpointer:
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(create=True, enable_async_checkpointing=True),
+            # pre-register the handler so item_metadata works on a FRESH
+            # manager (e.g. a resume sniffing the saved opt_impl layout);
+            # without it the lazy registration only happens at restore(args=)
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     def save(self, step: int, tree) -> None:
@@ -186,6 +199,12 @@ class OrbaxCheckpointer:
 
     def latest_step(self):
         return self._mgr.latest_step()
+
+    def item_metadata(self, step: int):
+        """Structure-only metadata of a saved step (no tensor reads) — lets a
+        resume sniff the saved layout (e.g. opt_impl) before building the
+        restore template."""
+        return self._mgr.item_metadata(step)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

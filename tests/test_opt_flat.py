@@ -161,3 +161,85 @@ def test_flat_rejects_fsdp():
     mesh = create_mesh()
     with pytest.raises(ValueError, match="FSDP"):
         make_loop(mesh, batch_size=8, opt_impl="flat", param_sharding="fsdp")
+
+
+def test_corrupt_opt_checkpoint_fails_loudly(tmp_path):
+    """A truncated/corrupt opt file must raise the real decode error, not be
+    misread as a cross-opt_impl layout mismatch and 'converted'."""
+    mesh = create_mesh()
+    loop = make_loop(mesh, batch_size=8)
+    bad = tmp_path / "opt000001.flax"
+    bad.write_bytes(b"\x00\x01 not msgpack at all \xff")
+    with pytest.raises(Exception) as ei:
+        loop._load_opt_checkpoint(str(bad))
+    assert "convert" not in str(ei.value).lower()
+
+
+class TestZero1:
+    """opt_impl='zero1': flat math with m/v/EMA sharded over the mesh
+    (ZeRO-1). Params stay replicated, so model compute is untouched; the
+    optimizer state drops to 1/N per chip."""
+
+    def test_state_is_sharded(self):
+        mesh = create_mesh()
+        loop = make_loop(mesh, batch_size=8, opt_impl="zero1")
+        n = len(jax.devices())
+        for vec in (loop.opt_state["m"], loop.opt_state["v"], loop.ema_params[0]):
+            assert len(vec.sharding.device_set) == n
+            # actually SHARDED (each device holds 1/N), not replicated
+            shard = vec.addressable_shards[0]
+            assert shard.data.shape[0] * n >= vec.shape[0] > shard.data.shape[0]
+        _steps(loop, 2, 8)
+        # state stays sharded across steps (constraints + donation)
+        shard = loop.opt_state["m"].addressable_shards[0]
+        assert shard.data.shape[0] < loop.opt_state["m"].shape[0]
+
+    @pytest.mark.slow
+    def test_two_steps_match_tree(self):
+        mesh = create_mesh()
+        kw = dict(weight_decay=0.01, lr_anneal_steps=200)
+        loop_tree = make_loop(mesh, batch_size=8, **kw)
+        init_params = jax.device_get(loop_tree.params)
+        loop_z1 = make_loop(
+            mesh, batch_size=8, init_params=init_params, opt_impl="zero1", **kw
+        )
+        _steps(loop_tree, 2, 8)
+        _steps(loop_z1, 2, 8)
+        for (kp, vt), (_, vz) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(loop_tree.params))[0],
+            jax.tree_util.tree_flatten_with_path(jax.device_get(loop_z1.params))[0],
+        ):
+            np.testing.assert_allclose(vz, vt, rtol=1e-6, atol=1e-8, err_msg=str(kp))
+
+    @pytest.mark.slow
+    def test_checkpoint_roundtrip_across_impls(self):
+        # zero1 saves the same {count, m, v} flat layout as 'flat': a zero1
+        # run resumes as flat (and vice versa) with no conversion
+        mesh = create_mesh()
+        loop = make_loop(mesh, batch_size=8, opt_impl="zero1")
+        _steps(loop, 2, 8)
+        loop.step = 1
+        loop.save()
+        model_path = os.path.join(logger.get_dir(), ckpt.checkpoint_name("model", 1))
+        # the on-disk layout strips zero1's device padding
+        m_true = np.asarray(jax.device_get(loop._strip_pad(loop.opt_state["m"])))
+        resumed = make_loop(
+            mesh, batch_size=8, opt_impl="flat", resume_checkpoint=model_path
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(resumed.opt_state["m"])), m_true
+        )
+        # and back into zero1: the restored vectors get re-padded + re-sharded
+        z1 = make_loop(
+            mesh, batch_size=8, opt_impl="zero1", resume_checkpoint=model_path
+        )
+        assert len(z1.opt_state["m"].sharding.device_set) == len(jax.devices())
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(z1._strip_pad(z1.opt_state["m"]))), m_true
+        )
+        _steps(z1, 1, 8)
+
+    def test_zero1_rejects_fsdp(self):
+        mesh = create_mesh()
+        with pytest.raises(ValueError, match="fsdp|FSDP"):
+            make_loop(mesh, batch_size=8, opt_impl="zero1", param_sharding="fsdp")

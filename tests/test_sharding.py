@@ -176,3 +176,21 @@ class TestLossAwareSampler:
         t, weights = s.sample(64, rng)
         assert (t == 2).sum() > (t == 0).sum()  # oversamples hard timesteps
         assert np.all(weights > 0)
+
+
+def test_trainloop_clears_stale_spatial_state():
+    """A previous CLI/loop's process-global SP state must not leak into a
+    plain-DP TrainLoop built afterwards (it would trace against the stale
+    (data, space) mesh)."""
+    from guided_diffusion_clip_tpu.parallel import sp
+
+    sp.setup_from_flag(2, batch_size=8)  # leaves process-global SP active
+    assert sp.active()
+    try:
+        mesh = create_mesh()
+        loop = make_loop(mesh, batch_size=8)  # spatial_shard defaults to 0
+        assert not sp.active(), "TrainLoop should clear stale SP state"
+        b, c = next(loop.data)
+        loop.run_step(b, c)  # traces without the stale constraint
+    finally:
+        sp.clear_spatial_sharding()
