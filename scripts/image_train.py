@@ -126,7 +126,7 @@ def create_argparser():
         main_path="",
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here
         param_sharding="replicated",  # "fsdp" shards params/opt/EMA over the data axis
-        opt_impl="tree",  # "flat": single-buffer fused AdamW+EMA (not with fsdp)
+        opt_impl="tree",  # "flat": fused single-buffer AdamW+EMA; "zero1": flat + sharded opt/EMA state (neither composes with fsdp)
         spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)

@@ -139,7 +139,7 @@ def create_argparser():
         use_fp16=False,
         fp16_scale_growth=1e-3,
         param_sharding="replicated",
-        opt_impl="tree",  # "flat": single-buffer fused AdamW+EMA (not with fsdp)
+        opt_impl="tree",  # "flat": fused single-buffer AdamW+EMA; "zero1": flat + sharded opt/EMA state (neither composes with fsdp)
         spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)

@@ -179,6 +179,38 @@ class TestTrainSampleRoundTrip:
             rows = list(csv.DictReader(f))
         assert rows and float(rows[0]["loss"]) > 0
 
+    def test_image_train_opt_zero1_smoke(self, dataset, tmp_path):
+        """--opt_impl zero1 end to end: ZeRO-1 sharded flat optimizer through
+        the real CLI on the virtual 8-CPU mesh; checkpoints land in the same
+        on-disk layout as flat (tree-format model/ema, flat opt vectors)."""
+        img_dir, clip_path, _ = dataset
+        run_dir = str(tmp_path / "zero1_run")
+        os.makedirs(run_dir)
+        run_script(
+            "image_train.py",
+            [
+                *TINY_FLAGS,
+                "--data_dir", img_dir,
+                "--clip_file_path", clip_path,
+                "--class_cond", "True",
+                "--batch_size", "8",
+                "--save_interval", "2",
+                "--log_interval", "1",
+                "--opt_impl", "zero1",
+            ],
+            env_extra={
+                "DIFFUSION_TRAINING_TEST": "1",
+                "OPENAI_LOGDIR": run_dir,
+                "OPENAI_LOG_FORMAT": "log,csv",
+            },
+        )
+        assert glob.glob(os.path.join(run_dir, "model*.flax"))
+        assert glob.glob(os.path.join(run_dir, "ema_0.9999_*.flax"))
+        assert glob.glob(os.path.join(run_dir, "opt*.flax"))
+        with open(os.path.join(run_dir, "progress.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert rows and float(rows[0]["loss"]) > 0
+
     def test_image_train_sp_smoke(self, dataset, tmp_path):
         """--spatial_shard 2 end to end: DP(4) x SP(2) mesh through the real
         CLI — activation-H sharding (parallel/sp.py) composed with the full

@@ -1,0 +1,38 @@
+#!/bin/bash
+# Watch for the axon TPU relay to come back, then run the recovery sweep.
+#
+# Probes with a tiny jitted op every ~8 min (each probe bounded at 240s —
+# when the relay is down the first compile hangs forever, so a timeout IS
+# the down signal). On the first successful probe it runs
+# tools/tpu_recovery.sh (full chip-gated measurement sweep) and exits.
+# Gives up after MAX_HOURS so the driver isn't left with a zombie.
+
+set -u
+cd "$(dirname "$0")/.."
+MAX_HOURS="${MAX_HOURS:-10}"
+deadline=$(( $(date +%s) + MAX_HOURS * 3600 ))
+
+cat > /tmp/gdc_relay_probe.py <<'EOF'
+import time
+t0 = time.time()
+import jax, jax.numpy as jnp
+x = jax.jit(lambda a: (a * a).sum())(jnp.ones((128, 128)))
+x.block_until_ready()
+print(f"ALIVE jit+run {time.time()-t0:.1f}s: {x}", flush=True)
+EOF
+
+n=0
+while [ "$(date +%s)" -lt "$deadline" ]; do
+  n=$((n + 1))
+  echo "[$(date +%H:%M:%S)] probe #$n"
+  if timeout 240 python /tmp/gdc_relay_probe.py 2>&1 | grep -q ALIVE; then
+    echo "[$(date +%H:%M:%S)] RELAY IS BACK — starting recovery sweep"
+    bash tools/tpu_recovery.sh
+    echo "[$(date +%H:%M:%S)] recovery sweep finished rc=$?"
+    exit 0
+  fi
+  echo "[$(date +%H:%M:%S)] still down; sleeping 8 min"
+  sleep 480
+done
+echo "[$(date +%H:%M:%S)] gave up after ${MAX_HOURS}h"
+exit 1

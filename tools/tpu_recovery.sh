@@ -47,6 +47,7 @@ run tsb64      1200 python tools/train_step_bench.py
 run tsb128     1500 env TSB_CONFIG=fork128 python tools/train_step_bench.py
 run tsb64_int8 1200 env TSB_CONV_IMPL=int8 python tools/train_step_bench.py
 run tsb64_flat 1200 env TSB_OPT_IMPL=flat python tools/train_step_bench.py
+# (no zero1 run: on ONE chip the ZeRO-1 shard axis is size 1 — identical to flat)
 run chainq     2400 python tools/int8_chain_quality.py
 # DeepCache: throughput + same-seed fidelity vs the uncached guided chain
 run deepcache  2400 python tools/deep_cache_bench.py
