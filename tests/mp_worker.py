@@ -223,6 +223,34 @@ def main():
     ]
     res["fsdp_roundtrip_maxdiff"] = max(diffs)
 
+    # ---- ZeRO-1 across processes: flat opt/EMA vectors sharded over BOTH
+    # processes' devices (the eager device_put to a cross-process sharding is
+    # the risk: every process passes the full host vector), save gathers them
+    z1_dir = os.path.join(args.tmpdir, "z1_run")
+    os.makedirs(z1_dir, exist_ok=True)
+    logger.configure_dir(dir=z1_dir, format_strs=[])
+    print("stage: zero1 build", flush=True)
+    zloop = TrainLoop(
+        model=model, diffusion=diffusion, data=data_gen(), batch_size=4,
+        microbatch=2, lr=1e-3, ema_rate="0.99", log_interval=10**9,
+        save_interval=10**9, seed=0, opt_impl="zero1",
+    )
+    res["z1_m_cross_process"] = bool(
+        not zloop.opt_state["m"].is_fully_addressable
+    )
+    for _ in range(2):
+        b, c = next(zloop.data)
+        zloop.run_step(b, c)
+        zloop.step += 1
+    zloop.flush_metrics()
+    zp = jax.tree_util.tree_leaves(zloop.params)[0]
+    res["z1_param_fingerprint"] = float(np.asarray(zp).sum())
+    print("stage: zero1 save", flush=True)
+    zloop.save()  # collective gather of the sharded vectors + rank-0 write
+    res["z1_ckpt_visible"] = os.path.exists(
+        os.path.join(z1_dir, "opt000002.flax")
+    )
+
     pdist.barrier("done")
     with open(os.path.join(args.tmpdir, f"result_{rank}.json"), "w") as f:
         json.dump(res, f)

@@ -132,6 +132,15 @@ def test_two_process_execution(tmp_path):
         == results[1]["sampler_after_steps_history"]
     )
 
+    # ZeRO-1: opt state sharded across BOTH processes, steps agree, the
+    # collective gather-save produced the opt file
+    for r in results:
+        assert r["z1_m_cross_process"]
+        assert r["z1_ckpt_visible"]
+    assert (
+        results[0]["z1_param_fingerprint"] == results[1]["z1_param_fingerprint"]
+    )
+
     # rank-0-only checkpoint write, visible to every rank after the barrier
     for r in results:
         assert r["ckpt_visible"], r["ckpt_files"]
