@@ -642,14 +642,21 @@ class TrainLoop:
                 fg = jax.flatten_util.ravel_pytree(grads)[0]
                 fp = jax.flatten_util.ravel_pytree(params)[0]
                 if zero1_shd is not None:
-                    # ZeRO-1: pad to the stored (evenly-shardable) length and
-                    # pin the grad vector to the shard layout so the DP grad
-                    # sync lowers to reduce-scatter; the whole update runs
-                    # shard-wise (m/v/ema enter already sharded), and only
+                    # ZeRO-1: pad to the stored (evenly-shardable) length,
+                    # pin the raveled grads REPLICATED first (otherwise the
+                    # partitioner propagates the shard layout back into the
+                    # ~500-leaf ravel concat and shreds it into per-leaf
+                    # collectives — measured 429 all-gathers + 53
+                    # collective-permutes vs 10 with the explicit two-step),
+                    # then reshard to the shard layout: replicated -> tiled
+                    # is a LOCAL slice, no communication. The update runs
+                    # shard-wise (m/v/ema enter already sharded) and only
                     # the UPDATED param vector is all-gathered at the end.
                     fg = jnp.pad(fg, (0, zero1_pad)) if zero1_pad else fg
                     fp = jnp.pad(fp, (0, zero1_pad)) if zero1_pad else fp
+                    fg = jax.lax.with_sharding_constraint(fg, rep_shd)
                     fg = jax.lax.with_sharding_constraint(fg, zero1_shd)
+                    fp = jax.lax.with_sharding_constraint(fp, rep_shd)
                 grad_norm = jnp.linalg.norm(fg)
                 param_norm = jnp.linalg.norm(fp)
                 count = opt_state["count"]

@@ -205,11 +205,15 @@ class TestZero1:
         )
         _steps(loop_tree, 2, 8)
         _steps(loop_z1, 2, 8)
+        # atol 1e-7 (vs flat's 1e-8): the sharded grad reduction changes the
+        # summation order, and Adam's sign-like normalization on zero-init
+        # leaves amplifies that ULP noise by step 2 (same analysis as
+        # TestFlatMatchesTree; measured max 5.2e-8 on one element)
         for (kp, vt), (_, vz) in zip(
             jax.tree_util.tree_flatten_with_path(jax.device_get(loop_tree.params))[0],
             jax.tree_util.tree_flatten_with_path(jax.device_get(loop_z1.params))[0],
         ):
-            np.testing.assert_allclose(vz, vt, rtol=1e-6, atol=1e-8, err_msg=str(kp))
+            np.testing.assert_allclose(vz, vt, rtol=1e-6, atol=1e-7, err_msg=str(kp))
 
     @pytest.mark.slow
     def test_checkpoint_roundtrip_across_impls(self):
@@ -243,3 +247,44 @@ class TestZero1:
         mesh = create_mesh()
         with pytest.raises(ValueError, match="fsdp|FSDP"):
             make_loop(mesh, batch_size=8, opt_impl="zero1", param_sharding="fsdp")
+
+
+@pytest.mark.slow
+def test_zero1_hlo_collectives_bounded():
+    """The zero1 step must not shred the ravel/unravel into per-leaf
+    collectives: vs flat it adds ~one all-gather of the updated param
+    vector (plus the grad sync). Regression guard for the explicit
+    replicated->sharded two-step (a bare sharded constraint on the ravel
+    output made GSPMD partition the ~30-leaf concat itself: measured 429
+    all-gather + 53 collective-permute instruction defs)."""
+    import re
+
+    import jax.numpy as jnp
+
+    from guided_diffusion_clip_tpu.parallel.mesh import shard_batch
+
+    mesh = create_mesh()
+
+    def hlo_counts(impl):
+        loop = make_loop(mesh, batch_size=8, opt_impl=impl)
+        b, c = next(loop.data)
+        t_np, w_np = loop.schedule_sampler.sample(8, loop.np_rng)
+        args = (
+            loop.params, loop.opt_state, tuple(loop.ema_params),
+            shard_batch(mesh, jnp.asarray(b)), shard_batch(mesh, {}),
+            shard_batch(mesh, jnp.asarray(t_np)),
+            shard_batch(mesh, jnp.asarray(w_np)), jax.random.key(0),
+        )
+        txt = loop._train_step.lower(*args).compile().as_text()
+        return {
+            op: len(re.findall(rf"= \S+ {op}\(", txt))
+            for op in ("all-reduce", "reduce-scatter", "all-gather",
+                       "collective-permute")
+        }
+
+    flat, z1 = hlo_counts("flat"), hlo_counts("zero1")
+    assert z1["collective-permute"] == 0, z1
+    gathers = z1["all-gather"] + z1["reduce-scatter"]
+    base = flat["all-gather"] + flat["reduce-scatter"]
+    assert gathers <= base + 2, (flat, z1)
+    assert z1["all-reduce"] <= flat["all-reduce"] + 2, (flat, z1)
