@@ -178,10 +178,13 @@ class TrainLoop:
                 mesh = create_mesh(axes=(("data", d), ("space", spatial_shard)))
             assert "space" in mesh.axis_names, mesh.axis_names
             sp.set_spatial_sharding(mesh)
-        elif sp.active():
+        elif sp.active() and (mesh is None or "space" not in mesh.axis_names):
             # process-global SP left on by a previous loop/CLI in this process
             # would make OUR trace pin activations to the stale (data, space)
-            # mesh; own the cleanup here (mirrors sp.setup_from_flag on <=1)
+            # mesh; own the cleanup here (mirrors sp.setup_from_flag on <=1).
+            # A caller that activated SP itself and hands us the matching
+            # ('data','space') mesh keeps it — only a mesh that CANNOT carry
+            # the active SP constraints marks the state as stale.
             sp.clear_spatial_sharding()
         # the mesh shards the GLOBAL batch (per-process batches are assembled
         # into one global array by shard_batch under multi-process)

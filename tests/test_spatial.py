@@ -235,7 +235,7 @@ class TestSPTrainStep:
             yield rs.uniform(-1, 1, (batch_size, 16, 16, 3)).astype(np.float32), {}
 
     @classmethod
-    def _make_loop(cls, mesh, init_params=None, param_sharding="replicated"):
+    def _make_loop(cls, mesh, init_params=None, param_sharding="replicated", **kw):
         import tempfile
 
         logger.configure_dir(dir=tempfile.mkdtemp(), format_strs=[])
@@ -244,12 +244,18 @@ class TestSPTrainStep:
             steps=20, noise_schedule="cosine", learn_sigma=True,
             rescale_learned_sigmas=True,
         )
-        return TrainLoop(
+        was_sp = sp.active()
+        loop = TrainLoop(
             model=model, diffusion=diffusion, data=cls._data_gen(8),
             batch_size=8, microbatch=-1, lr=1e-3, ema_rate="0.99",
             log_interval=10**9, save_interval=10**9, mesh=mesh, seed=7,
-            init_params=init_params, param_sharding=param_sharding,
+            init_params=init_params, param_sharding=param_sharding, **kw,
         )
+        # guard against the loop silently DISABLING ambient SP (it clears
+        # stale SP state, but an SP-capable mesh must keep it active —
+        # otherwise these tests compare DP against DP and prove nothing)
+        assert sp.active() == was_sp, "TrainLoop changed ambient SP state"
+        return loop
 
     def _assert_params_match(self, loop_ref, loop_got):
         for (kd, vd), (ks, vs) in zip(
@@ -270,6 +276,29 @@ class TestSPTrainStep:
         loop_dp.run_step(b, c)
         loop_sp.run_step(b, c)
         self._assert_params_match(loop_dp, loop_sp)
+
+    def test_zero1_sp_step_matches_dp_only(self):
+        # ZeRO-1 composed with SP: the flat opt/EMA vectors shard over BOTH
+        # mesh axes (('data','space')), activations still H-sharded
+        loop_dp = self._make_loop(create_mesh(axes=(("data", 8),)))
+        init_params = jax.device_get(loop_dp.params)
+
+        mesh = sp_mesh(data=2, space=4)
+        sp.set_spatial_sharding(mesh)
+        loop_sp = self._make_loop(mesh, init_params=init_params, opt_impl="zero1")
+        assert len(loop_sp.opt_state["m"].sharding.device_set) == 8
+        shard = loop_sp.opt_state["m"].addressable_shards[0]
+        assert shard.data.shape[0] * 8 >= loop_sp.opt_state["m"].shape[0] > shard.data.shape[0]
+
+        b, c = next(self._data_gen(8, seed=42))
+        loop_dp.run_step(b, c)
+        loop_sp.run_step(b, c)
+        # atol 1e-7: sharded grad-reduction order noise (see test_opt_flat)
+        for (kd, vd), (ks, vs) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(loop_dp.params))[0],
+            jax.tree_util.tree_flatten_with_path(jax.device_get(loop_sp.params))[0],
+        ):
+            np.testing.assert_allclose(vs, vd, rtol=2e-5, atol=2e-6, err_msg=str(kd))
 
     def test_fsdp_sp_step_matches_dp_only(self):
         # ZeRO-3 composed with SP: param shards spread over BOTH mesh axes
