@@ -1,0 +1,280 @@
+"""Warm-compiled HTTP sampling server — the production-serving entry point.
+
+The reference has no serving story (generation is batch CLIs only); on TPU
+the expensive part of "sample on demand" is the first XLA compile of the
+chain (minutes through remote toolchains), after which a request is one
+device dispatch. This server pays the compile ONCE at startup (a warmup
+chain at the fixed serving batch size), then answers requests from the
+cached executable:
+
+    python scripts/serve.py --model_path run/model010000.flax \
+        --image_size 64 --num_channels 192 ... --timestep_respacing ddim25 \
+        --batch_size 8 --port 8080
+
+    GET  /healthz            -> {"ok": true, "compiled": true, ...}
+    POST /sample             <- {"num_samples": 4, "seed": 7,
+                                 "clip_feat": [[...512 floats...], ...]
+                                 (optional on conditioned models),
+                                 "format": "npz" | "png_base64"}
+                             -> .npz bytes {"arr_0": uint8 [n,H,W,3]}
+                                or JSON {"png_base64": ..., "n": n}
+
+Requests are padded to the compiled batch and sliced back, so every request
+reuses the one executable regardless of its size (<= --batch_size). A lock
+serializes device use; decode/encode runs outside it. Sampler selection,
+int8 inference, DeepCache, and classifier-free guidance (--cfg_scale, a
+server-level knob — the CFG chain is a different program) compose exactly
+like scripts/image_sample.py.
+"""
+
+import argparse
+import base64
+import io
+import json
+import os
+import sys
+import threading
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from guided_diffusion_clip_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from guided_diffusion_clip_tpu.diffusion.deep_cache import (
+    deep_cache_model_fn,
+    zero_state,
+)
+from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
+from guided_diffusion_clip_tpu.utils import logger
+from guided_diffusion_clip_tpu.utils.checkpoint import (
+    init_template,
+    load_params,
+    setup_compilation_cache,
+)
+from guided_diffusion_clip_tpu.utils.saving_imgs import tensor2img
+from guided_diffusion_clip_tpu.utils.script_util import (
+    add_dict_to_argparser,
+    args_to_dict,
+    create_model_and_diffusion,
+    model_and_diffusion_defaults,
+    parse_yaml,
+    resolve_sampler,
+)
+
+
+class Sampler:
+    """Owns the model, the one compiled chain, and the device lock."""
+
+    def __init__(self, args):
+        from guided_diffusion_clip_tpu.ops.config import int8_emit, set_conv_impl
+
+        set_conv_impl(getattr(args, "conv_impl", "auto"))
+        self.args = args
+        self.batch = args.batch_size
+        self.shape = (self.batch, args.image_size, args.image_size, 3)
+        model, diffusion = create_model_and_diffusion(
+            **args_to_dict(args, model_and_diffusion_defaults().keys())
+        )
+        self.steps = diffusion.num_timesteps
+        setup_compilation_cache()
+        template = init_template(
+            model, jnp.zeros(self.shape), jnp.zeros((self.batch,)),
+            clip_feat=jnp.zeros((self.batch, 512)) if args.class_cond else None,
+        )
+        self.params = jax.device_put(load_params(args.model_path, template))
+        # the fork's conditioning is the 512-d CLIP embedding (class_cond
+        # repurposes NUM_CLASSES=512, reference script_util.py:9)
+        self.cond_key = "clip_feat" if args.class_cond else None
+        loop = resolve_sampler(diffusion, args)
+        cfg_scale = float(getattr(args, "cfg_scale", 0.0))
+        deep_cache_n = int(getattr(args, "deep_cache", 0))
+        if cfg_scale and self.cond_key is None:
+            raise SystemExit("--cfg_scale needs a conditioned model (--class_cond)")
+        if cfg_scale and deep_cache_n > 1:
+            raise SystemExit(
+                "serve.py: use --deep_cache or --cfg_scale, not both "
+                "(image_sample.py composes them if you need that)"
+            )
+
+        def run_chain(params, key, model_kwargs):
+            def model_fn(x, t, **kw):
+                with int8_emit("s8"):
+                    return model.apply({"params": params}, x, t, **kw)
+
+            mf, state0 = model_fn, None
+            if cfg_scale:
+                mf = cfg_model_fn(model_fn, cfg_scale, {"clip_feat": 0.0})
+            if deep_cache_n > 1:
+                def apply_full(x, t, **kw):
+                    with int8_emit("s8"):
+                        return model.apply({"params": params}, x, t,
+                                           cache_mode="full", **kw)
+
+                def apply_shallow(x, t, deep, **kw):
+                    with int8_emit("s8"):
+                        return model.apply({"params": params}, x, t,
+                                           deep_cache=deep,
+                                           cache_mode="shallow", **kw)
+
+                mf = deep_cache_model_fn(apply_full, apply_shallow, deep_cache_n)
+                state0 = zero_state(
+                    apply_full, jnp.zeros(self.shape),
+                    jnp.zeros((self.batch,), jnp.int32),
+                )
+            out = loop(
+                mf, self.shape, key, clip_denoised=True,
+                model_kwargs=model_kwargs, model_state0=state0,
+            )
+            return ((out + 1) * 127.5).clip(0, 255).astype(jnp.uint8)
+
+        self._chain = jax.jit(run_chain)
+        self._lock = threading.Lock()
+        self.compiled = False
+
+    def warmup(self):
+        logger.log(f"serve: compiling the chain (batch {self.batch}, "
+                   f"{self.steps} steps)...")
+        out = self.sample(self.batch, seed=0, cond=None)
+        assert out.shape == self.shape, out.shape
+        self.compiled = True
+        logger.log("serve: chain compiled; serving")
+
+    def _pad_cond(self, cond, n):
+        """Request conditioning -> the compiled batch's kwargs."""
+        if self.cond_key is None:
+            return {}
+        full = np.zeros((self.batch, 512), np.float32)
+        if cond is not None:
+            arr = np.asarray(cond, np.float32)
+            if arr.shape != (n, 512):
+                raise ValueError(
+                    f"clip_feat must be [{n}, 512], got {list(arr.shape)}"
+                )
+            full[:n] = arr
+        return {"clip_feat": jnp.asarray(full)}
+
+    def sample(self, n, seed, cond):
+        if not 1 <= n <= self.batch:
+            raise ValueError(
+                f"num_samples must be in [1, {self.batch}] (the compiled "
+                f"serving batch; restart with a larger --batch_size)"
+            )
+        kwargs = self._pad_cond(cond, n)
+        key = jax.random.key(int(seed))
+        with self._lock:
+            out = np.asarray(jax.block_until_ready(
+                self._chain(self.params, key, kwargs)
+            ))
+        return out[:n]
+
+
+def _make_handler(sampler: Sampler):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # route access logs through ours
+            logger.log(f"serve: {self.address_string()} {fmt % a}")
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._json(404, {"error": "unknown path"})
+            a = sampler.args
+            self._json(200, {
+                "ok": True,
+                "compiled": sampler.compiled,
+                "image_size": a.image_size,
+                "batch_size": sampler.batch,
+                "steps": sampler.steps,
+                "cond": sampler.cond_key,
+                "sampler": getattr(a, "sampler", "") or
+                           ("ddim" if a.use_ddim else "ancestral"),
+            })
+
+        def do_POST(self):
+            if self.path != "/sample":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                n = int(req.get("num_samples", 1))
+                seed = int(req.get("seed", 0))
+                cond = req.get(sampler.cond_key) if sampler.cond_key else None
+                fmt = req.get("format", "npz")
+                imgs = sampler.sample(n, seed, cond)
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": str(e)})
+            if fmt == "png_base64":
+                import cv2
+
+                grid = tensor2img(imgs.astype(np.float32) / 127.5 - 1.0)
+                ok, buf = cv2.imencode(".png", grid[..., ::-1])
+                assert ok
+                return self._json(200, {
+                    "n": int(n),
+                    "png_base64": base64.b64encode(buf.tobytes()).decode(),
+                })
+            bio = io.BytesIO()
+            np.savez(bio, imgs)
+            body = bio.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def main():
+    args = create_argparser().parse_args()
+    args = parse_yaml(args)
+    logger.configure(args=args)
+    sampler = Sampler(args)
+    sampler.warmup()
+    server = ThreadingHTTPServer(
+        (args.host, args.port), _make_handler(sampler)
+    )
+    logger.log(f"serve: listening on {args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+def create_argparser():
+    defaults = dict(
+        model_path="",
+        host="127.0.0.1",
+        port=8080,
+        batch_size=8,
+        seed=0,
+        use_ddim=False,
+        sampler="",        # "", ancestral, ddim, dpm++2m
+        conv_impl="auto",  # int8 for the measured fast path
+        cfg_scale=0.0,     # classifier-free guidance (server-level knob)
+        deep_cache=0,      # deep-feature reuse interval
+        main_path="",
+    )
+    defaults.update(model_and_diffusion_defaults())
+    parser = argparse.ArgumentParser()
+    add_dict_to_argparser(parser, defaults)  # also adds --config-file / -d
+    return parser
+
+
+if __name__ == "__main__":
+    main()

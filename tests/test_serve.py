@@ -1,0 +1,159 @@
+"""HTTP sampling server (scripts/serve.py): warm compile, request padding,
+npz/png responses, conditioning validation."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+TINY = [
+    "--image_size", "16", "--num_channels", "32", "--num_res_blocks", "1",
+    "--channel_mult", "1,2", "--num_heads", "2", "--attention_resolutions", "4",
+    "--diffusion_steps", "10", "--noise_schedule", "cosine",
+    "--learn_sigma", "True", "--class_cond", "True",
+]
+
+
+def _make_ckpt(path):
+    import jax
+    import jax.numpy as jnp
+
+    from guided_diffusion_clip_tpu.utils.checkpoint import save_flax
+    from guided_diffusion_clip_tpu.utils.script_util import (
+        create_model_and_diffusion,
+        model_and_diffusion_defaults,
+    )
+
+    kw = model_and_diffusion_defaults()
+    kw.update(
+        image_size=16, num_channels=32, num_res_blocks=1, channel_mult="1,2",
+        num_heads=2, attention_resolutions="4", diffusion_steps=10,
+        noise_schedule="cosine", learn_sigma=True, class_cond=True,
+    )
+    model, _ = create_model_and_diffusion(**kw)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,)),
+        clip_feat=jnp.zeros((1, 512)),
+    )["params"]
+    save_flax(path, params)
+
+
+def _wait_healthy(port, proc, budget=420):
+    t0 = time.time()
+    while time.time() - t0 < budget:
+        if proc.poll() is not None:
+            out = proc.stdout.read().decode(errors="replace")
+            raise AssertionError(f"server died rc={proc.returncode}:\n{out[-4000:]}")
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=5
+            ) as r:
+                h = json.loads(r.read())
+                if h.get("compiled"):
+                    return h
+        except (urllib.error.URLError, ConnectionError, OSError):
+            pass
+        time.sleep(1.0)
+    raise AssertionError("server never became healthy")
+
+
+def _post(port, payload, path="/sample"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(600)
+def test_serve_end_to_end(tmp_path):
+    ckpt = str(tmp_path / "model000001.flax")
+    _make_ckpt(ckpt)
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OPENAI_LOGDIR=str(tmp_path / "log"))
+    proc = subprocess.Popen(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+            *TINY,
+            "--model_path", ckpt,
+            "--batch_size", "4",
+            "--timestep_respacing", "5",
+            "--port", str(port),
+        ],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        h = _wait_healthy(port, proc)
+        assert h["batch_size"] == 4 and h["image_size"] == 16
+        assert h["cond"] == "clip_feat" and h["steps"] == 5
+
+        # npz request smaller than the compiled batch (padding + slice)
+        rs = np.random.RandomState(0)
+        feat = rs.randn(2, 512).astype(np.float32)
+        with _post(port, {
+            "num_samples": 2, "seed": 3, "clip_feat": feat.tolist(),
+        }) as r:
+            assert r.status == 200
+            import io
+
+            arr = np.load(io.BytesIO(r.read()))["arr_0"]
+        assert arr.shape == (2, 16, 16, 3) and arr.dtype == np.uint8
+
+        # determinism: same seed+cond -> same bytes; different seed differs
+        with _post(port, {"num_samples": 2, "seed": 3, "clip_feat": feat.tolist()}) as r:
+            import io
+
+            arr2 = np.load(io.BytesIO(r.read()))["arr_0"]
+        np.testing.assert_array_equal(arr, arr2)
+        with _post(port, {"num_samples": 2, "seed": 4, "clip_feat": feat.tolist()}) as r:
+            import io
+
+            arr3 = np.load(io.BytesIO(r.read()))["arr_0"]
+        assert (arr3 != arr).any()
+
+        # png_base64 format
+        with _post(port, {"num_samples": 1, "format": "png_base64"}) as r:
+            body = json.loads(r.read())
+        assert body["n"] == 1 and len(body["png_base64"]) > 100
+
+        # validation errors come back as 400, server stays up
+        try:
+            _post(port, {"num_samples": 99})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            _post(port, {"num_samples": 2, "clip_feat": [[1.0, 2.0]]})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=5
+        ) as r:
+            assert json.loads(r.read())["ok"]
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
