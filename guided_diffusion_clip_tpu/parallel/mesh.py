@@ -23,7 +23,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(axes: Sequence[tuple[str, int]] | None = None, devices=None) -> Mesh:
-    """Build a mesh; default is 1-D ('data', n_devices)."""
+    """Build a mesh; default is 1-D ('data', n_devices).
+
+    Device placement goes through `mesh_utils.create_device_mesh`, which
+    orders devices by the PHYSICAL interconnect topology (on TPU pods, inner
+    mesh axes land on ICI rings and only the outer axis crosses DCN) — a raw
+    `reshape(jax.devices())` can put a frequently-communicating axis across
+    slow links. Falls back to the raw reshape for device subsets or
+    platforms the topology helper doesn't know.
+    """
     if devices is None:
         devices = jax.devices()
     if axes is None:
@@ -33,7 +41,12 @@ def create_mesh(axes: Sequence[tuple[str, int]] | None = None, devices=None) -> 
     assert int(np.prod(sizes)) == len(devices), (
         f"mesh {sizes} does not cover {len(devices)} devices"
     )
-    dev_array = np.asarray(devices).reshape(sizes)
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh(sizes, devices=devices)
+    except Exception:
+        dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, names)
 
 
