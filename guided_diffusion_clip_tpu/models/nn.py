@@ -82,9 +82,9 @@ class GroupNorm32(nn.Module):
         impl = resolve_groupnorm_impl(quantize=quantize)
         if impl == "pallas" and hw * C < 1 << 16:
             impl = "xla"  # tiny maps: no kernel win
-        from ..parallel import sp
+        from ..parallel import sp, tp
 
-        if impl == "pallas" and sp.active():
+        if impl == "pallas" and (sp.active() or tp.active()):
             # GSPMD can only replicate an opaque pallas_call; the XLA
             # composite partitions (H-sharded stats become AllReduces).
             impl = "xla"

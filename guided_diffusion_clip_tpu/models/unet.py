@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention as qkv_attention_dispatch
-from ..parallel import sp
+from ..parallel import sp, tp
 from .nn import (
     Conv,
     Dense,
@@ -357,7 +357,7 @@ def _apply_layer(parent, spec, name, h, emb, train, cfg):
         out = Upsample(spec["out"], use_conv=cfg.conv_resample, dtype=cfg.dtype_, name=name)(h)
     else:
         raise ValueError(kind)
-    return sp.constrain_spatial(out)
+    return tp.constrain_channels(sp.constrain_spatial(out))
 
 
 class _CfgView:
@@ -483,7 +483,7 @@ class UNetModel(nn.Module):
             assert (cache_mode == "shallow") == (deep_cache is not None), (
                 "deep_cache must be given exactly when cache_mode='shallow'"
             )
-        h = sp.constrain_spatial(x.astype(self.dtype))
+        h = tp.constrain_channels(sp.constrain_spatial(x.astype(self.dtype)))
         hs = []
         in_blocks = input_blocks[:cut] if cache_mode == "shallow" else input_blocks
         for i, block in enumerate(in_blocks):
@@ -492,7 +492,7 @@ class UNetModel(nn.Module):
             hs.append(h)
         deep_out = None
         if cache_mode == "shallow":
-            h = sp.constrain_spatial(deep_cache.astype(self.dtype))
+            h = tp.constrain_channels(sp.constrain_spatial(deep_cache.astype(self.dtype)))
             out_start = n_in - cut
         else:
             for j, spec in enumerate(middle_block):
@@ -530,7 +530,7 @@ class EncoderUNetModel(nn.Module):
         emb = Dense(ted, name="time_embed_2")(silu(emb))
 
         input_blocks, middle_block, _, feature_size = build_plan(cfg)
-        h = sp.constrain_spatial(x.astype(self.dtype))
+        h = tp.constrain_channels(sp.constrain_spatial(x.astype(self.dtype)))
         results = []
         for i, block in enumerate(input_blocks):
             for j, spec in enumerate(block):

@@ -71,9 +71,9 @@ def attention(qkv: jax.Array, num_heads: int, *, new_order: bool = False) -> jax
     # pallas_call is an opaque custom call the partitioner can only replicate
     # (all-gathering the batch onto every device); the einsum path shards
     # cleanly over 'data'. SP is trace-time global, like the impl choice.
-    from ..parallel import sp
+    from ..parallel import sp, tp
 
-    if impl == "xla" or (impl == "pallas" and not aligned) or sp.active():
+    if impl == "xla" or (impl == "pallas" and not aligned) or sp.active() or tp.active():
         return qkv_attention(qkv, num_heads, new_order=new_order)
     from .pallas_attention import qkv_attention_pallas
 

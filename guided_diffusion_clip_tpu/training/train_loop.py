@@ -38,6 +38,7 @@ import optax
 from ..diffusion.api import Diffusion
 from ..parallel import dist as pdist
 from ..parallel import sp
+from ..parallel import tp
 from ..parallel.mesh import (
     constrain_tree,
     create_data_mesh,
@@ -186,6 +187,12 @@ class TrainLoop:
             # ('data','space') mesh keeps it — only a mesh that CANNOT carry
             # the active SP constraints marks the state as stale.
             sp.clear_spatial_sharding()
+        if tp.active() and (mesh is None or "model" not in mesh.axis_names):
+            # same staleness rule for tensor parallelism: a 'model'-axis mesh
+            # handed in by the caller keeps ambient TP active (the in-model
+            # channel constraints then ride this loop's jit); any other mesh
+            # cannot carry them, so the leftover process-global state is stale.
+            tp.clear_tensor_sharding()
         # the mesh shards the GLOBAL batch (per-process batches are assembled
         # into one global array by shard_batch under multi-process)
         self.mesh = mesh if mesh is not None else create_data_mesh(self.global_batch)

@@ -58,10 +58,11 @@ def main():
         args.main_path = os.path.join(args.main_path, args.sub_dir_tstsave)
 
     pdist.setup_dist()
-    from guided_diffusion_clip_tpu.parallel import sp as _sp
+    from guided_diffusion_clip_tpu.parallel import sp as _sp, tp as _tp
     # after setup_dist: setup_from_flag touches jax.devices(), which must
     # not initialize the backend before jax.distributed.initialize
     _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
+    _tp.setup_from_flag(getattr(args, 'tensor_shard', 0), args.batch_size)
     logger.configure(args=args)
     logger.log("\n\t".join(f"{k} = {v}" for k, v in vars(args).items()))
 
@@ -261,6 +262,7 @@ def create_argparser():
         deep_cache=0,  # N>1: refresh the deep sub-UNet every N steps (DeepCache)
         deep_cache_cut=0,  # shallow input blocks; 0 = below the full-res level
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
+        tensor_shard=0,  # >1: shard activation channels over a 'model' mesh axis (TP)
         sampler="",  # ""(use_ddim decides)|ancestral|ddim|dpm++2m
         profile_dir="",  # capture a jax.profiler/TensorBoard trace here
     )

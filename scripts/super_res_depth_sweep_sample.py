@@ -48,10 +48,11 @@ def main():
         args.main_path = os.path.join(args.main_path, args.sub_dir_tstsave)
 
     pdist.setup_dist()
-    from guided_diffusion_clip_tpu.parallel import sp as _sp
+    from guided_diffusion_clip_tpu.parallel import sp as _sp, tp as _tp
     # after setup_dist: setup_from_flag touches jax.devices(), which must
     # not initialize the backend before jax.distributed.initialize
     _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
+    _tp.setup_from_flag(getattr(args, 'tensor_shard', 0), args.batch_size)
     logger.configure(args=args)
     logger.log("\n\t".join(f"{k} = {v}" for k, v in vars(args).items()))
 
@@ -133,6 +134,7 @@ def create_argparser():
         seed=0,
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
+        tensor_shard=0,  # >1: shard activation channels over a 'model' mesh axis (TP)
 
         denoise_start_point=-1,
     )

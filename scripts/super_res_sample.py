@@ -68,10 +68,11 @@ def main():
     set_conv_impl(getattr(args, "conv_impl", "auto"))
 
     pdist.setup_dist()
-    from guided_diffusion_clip_tpu.parallel import sp as _sp
+    from guided_diffusion_clip_tpu.parallel import sp as _sp, tp as _tp
     # after setup_dist: setup_from_flag touches jax.devices(), which must
     # not initialize the backend before jax.distributed.initialize
     _sp.setup_from_flag(getattr(args, 'spatial_shard', 0), args.batch_size)
+    _tp.setup_from_flag(getattr(args, 'tensor_shard', 0), args.batch_size)
     logger.configure(args=args)
 
     logger.log("creating model...")
@@ -165,6 +166,7 @@ def create_argparser():
         seed=0,
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
+        tensor_shard=0,  # >1: shard activation channels over a 'model' mesh axis (TP)
 
     )
     defaults.update(sr_model_and_diffusion_defaults())

@@ -241,6 +241,54 @@ class TestTrainSampleRoundTrip:
             rows = list(csv.DictReader(f))
         assert rows and float(rows[0]["loss"]) > 0
 
+    def test_image_sample_tp_smoke(self, dataset, tmp_path):
+        """--tensor_shard 4 end to end: ('data',2) x ('model',4) sampling mesh
+        through the real CLI — channel sharding (parallel/tp.py) through the
+        full respaced chain + npz/png write on the 8-device mesh."""
+        img_dir, clip_path, _ = dataset
+        run_dir = str(tmp_path / "tp_train")
+        os.makedirs(run_dir)
+        run_script(
+            "image_train.py",
+            [
+                *TINY_FLAGS,
+                "--data_dir", img_dir,
+                "--clip_file_path", clip_path,
+                "--class_cond", "True",
+                "--batch_size", "8",
+                "--save_interval", "2",
+                "--log_interval", "1",
+            ],
+            env_extra={
+                "DIFFUSION_TRAINING_TEST": "1",
+                "OPENAI_LOGDIR": run_dir,
+                "OPENAI_LOG_FORMAT": "log,csv",
+            },
+        )
+        ckpts = sorted(glob.glob(os.path.join(run_dir, "model*.flax")))
+        assert ckpts
+        sample_dir = str(tmp_path / "tp_samples")
+        os.makedirs(sample_dir)
+        run_script(
+            "image_sample.py",
+            [
+                *TINY_FLAGS,
+                "--timestep_respacing", "5",
+                "--model_path", ckpts[-1],
+                "--data_dir_test", img_dir,
+                "--clip_file_path_test", clip_path,
+                "--class_cond", "True",
+                "--batch_size", "4",
+                "--num_samples", "4",
+                "--tensor_shard", "4",
+            ],
+            env_extra={"OPENAI_LOGDIR": sample_dir, "OPENAI_LOG_FORMAT": "log"},
+        )
+        npzs = glob.glob(os.path.join(sample_dir, "samples_*.npz"))
+        assert npzs
+        arr = np.load(npzs[0])["arr_0"]
+        assert arr.shape == (4, 16, 16, 3) and arr.dtype == np.uint8
+
     def test_classifier_train_smoke(self, dataset, tmp_path):
         img_dir, _, _ = dataset
         run_dir = str(tmp_path / "cls")

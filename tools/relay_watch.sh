@@ -25,11 +25,17 @@ n=0
 while [ "$(date +%s)" -lt "$deadline" ]; do
   n=$((n + 1))
   echo "[$(date +%H:%M:%S)] probe #$n"
-  if timeout 240 python /tmp/gdc_relay_probe.py 2>&1 | grep -q ALIVE; then
+  # 420s: relay-side compiles of even tiny programs vary 2-8 min when the
+  # relay is degraded — a short timeout misclassifies slow as down.
+  if timeout 420 python /tmp/gdc_relay_probe.py 2>&1 | grep -q ALIVE; then
     echo "[$(date +%H:%M:%S)] RELAY IS BACK — starting recovery sweep"
-    bash tools/tpu_recovery.sh
-    echo "[$(date +%H:%M:%S)] recovery sweep finished rc=$?"
-    exit 0
+    if bash tools/tpu_recovery.sh; then
+      echo "[$(date +%H:%M:%S)] recovery sweep finished OK"
+      exit 0
+    fi
+    # the relay flaps: a probe can succeed and the sweep's gate then hang.
+    # Keep watching instead of giving up the whole window.
+    echo "[$(date +%H:%M:%S)] sweep aborted (relay flapped?) — resuming watch"
   fi
   echo "[$(date +%H:%M:%S)] still down; sleeping 8 min"
   sleep 480

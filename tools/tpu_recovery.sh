@@ -40,7 +40,7 @@ x = jax.jit(lambda a: (a * a).sum())(jnp.ones((128, 128)))
 x.block_until_ready()
 print(f"jit+run {time.time()-t0:.1f}s on {jax.devices()}: {x}", flush=True)
 EOF
-run probe 300 python /tmp/gdc_probe_tpu.py || { echo "RELAY STILL DOWN — aborting"; exit 1; }
+run probe 600 python /tmp/gdc_probe_tpu.py || { echo "RELAY STILL DOWN — aborting"; exit 1; }
 
 run bench      1300 env BENCH_WATCHDOG_SECS=1200 python bench.py
 run tsb64      1200 python tools/train_step_bench.py
