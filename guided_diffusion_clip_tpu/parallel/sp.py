@@ -49,6 +49,9 @@ def set_spatial_sharding(
     assert space_axis in mesh.axis_names, (space_axis, mesh.axis_names)
     if data_axis is not None:
         assert data_axis in mesh.axis_names, (data_axis, mesh.axis_names)
+    from . import tp  # lazy: tp imports sp the same way
+
+    assert not tp.active(), "spatial and tensor sharding are mutually exclusive"
     global _STATE
     _STATE = (mesh, data_axis, space_axis)
 

@@ -10,8 +10,10 @@ XLA's GSPMD partitioner does the rest:
     computes its C/N slice of the output features (the Megatron "column
     parallel" shape) with the partitioner choosing where to reshard;
   - GroupNorm reduces within channel GROUPS (contiguous blocks of C/32):
-    when the model axis divides the group count each chip holds whole
-    groups, so the stats reductions stay device-local — no collective;
+    when the model-axis size divides the 32-group boundary (32 % S == 0)
+    each chip holds whole groups, so the stats reductions stay device-local
+    — no collective. Other shard factors (S=3, S>32) split groups across
+    chips; values stay correct but GSPMD inserts stat AllReduces;
   - attention blocks run with the partitioner free to place the head
     einsums; the block output is re-pinned channel-sharded on exit.
 
@@ -121,6 +123,12 @@ def setup_from_flag(tensor_shard: int, batch_size: int) -> Mesh | None:
     devices = _jax.local_devices() if _jax.process_count() > 1 else _jax.devices()
     n, s = len(devices), int(tensor_shard)
     assert n % s == 0, f"--tensor_shard {s} does not divide {n} local devices"
+    if 32 % s:
+        logger.warn(
+            f"--tensor_shard {s} does not divide the 32 GroupNorm groups: "
+            "groups split across chips, so GSPMD inserts stat AllReduces "
+            "(values stay correct; expect extra collective traffic)"
+        )
     d = n // s
     if d > 1 and batch_size % d == 0:
         mesh = create_mesh(axes=(("data", d), ("model", s)), devices=devices)

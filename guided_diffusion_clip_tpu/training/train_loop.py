@@ -166,6 +166,10 @@ class TrainLoop:
         # memory/time per chip drops by the space factor — the knob for
         # 256/512px configs where pure DP runs out of HBM or latency.
         if spatial_shard and spatial_shard > 1:
+            # SP and TP are mutually exclusive (sp.set_spatial_sharding
+            # asserts); a loop explicitly asked to spatial-shard makes any
+            # ambient TP state stale by definition — clear it first.
+            tp.clear_tensor_sharding()
             if mesh is None:
                 n = len(jax.devices())
                 assert n % spatial_shard == 0, (
@@ -193,6 +197,16 @@ class TrainLoop:
             # channel constraints then ride this loop's jit); any other mesh
             # cannot carry them, so the leftover process-global state is stale.
             tp.clear_tensor_sharding()
+        elif tp.active():
+            # the caller's mesh can carry TP, but the ambient state may have
+            # been pinned to a DIFFERENT mesh (e.g. a local-devices latency
+            # mesh built by a sampling CLI); re-activate on the loop's mesh so
+            # the in-model channel constraints target the same device
+            # assignment as the loop's global batch sharding.
+            tp.clear_tensor_sharding()
+            tp.set_tensor_sharding(
+                mesh, data_axis="data" if "data" in mesh.axis_names else None
+            )
         # the mesh shards the GLOBAL batch (per-process batches are assembled
         # into one global array by shard_batch under multi-process)
         self.mesh = mesh if mesh is not None else create_data_mesh(self.global_batch)

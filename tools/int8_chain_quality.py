@@ -19,10 +19,17 @@ Run on CPU (JAX_PLATFORMS=cpu; int8 XLA convs are platform-independent
 numerics) or on the chip. Prints one JSON line; numbers recorded in
 ROUND_NOTES.md.
 
-Env knobs: INT8Q_TRAIN_STEPS (400), INT8Q_SAMPLES (64), INT8Q_IMAGE (16),
-INT8Q_DIFFUSION_STEPS (100), INT8Q_BATCH (16). On a 1-core CPU box use
-~150 train steps / 32 samples (hours otherwise); on a TPU chip the
-defaults run in minutes.
+Env knobs: INT8Q_TRAIN_STEPS (400), INT8Q_SAMPLES (64), INT8Q_IMAGE (16;
+>=64 switches to an ADM-style deep config: ch128, 2 res blocks, mult
+(1,2,3,4), attention at ds 4/8 — the at-scale proxy VERDICT r3 asked for),
+INT8Q_DIFFUSION_STEPS (100), INT8Q_BATCH (16), INT8Q_RESPACING ("" = no
+respacing; "250"/"ddim25" etc. per diffusion/schedules.py),
+INT8Q_SAMPLER ("ancestral" | "ddim"), INT8Q_VARIANT ("int8" = quantized
+convs, the default; "dcN" e.g. "dc3" = DeepCache interval-N deep-feature
+reuse — fidelity on a TRAINED model, which tools/deep_cache_bench.py's
+random-init comparison cannot provide). On a 1-core CPU box use ~150 train
+steps / 32 samples (hours otherwise); on a TPU chip the defaults run in
+minutes.
 """
 
 import functools
@@ -41,6 +48,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from guided_diffusion_clip_tpu.diffusion.deep_cache import (
+    deep_cache_model_fn,
+    zero_state,
+)
 from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
 from guided_diffusion_clip_tpu.ops.config import set_conv_impl
 from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
@@ -71,15 +82,29 @@ def main():
     size = int(os.environ.get("INT8Q_IMAGE", 16))
     T = int(os.environ.get("INT8Q_DIFFUSION_STEPS", 100))
     B = int(os.environ.get("INT8Q_BATCH", 16))
+    respacing = os.environ.get("INT8Q_RESPACING", "")
+    sampler = os.environ.get("INT8Q_SAMPLER", "ancestral")
+    variant = os.environ.get("INT8Q_VARIANT", "int8")
+    dc_interval = int(variant[2:]) if variant.startswith("dc") else 0
 
     logger.configure_dir(dir="/tmp/int8_chain_quality", format_strs=[])
     set_conv_impl("xla")  # training is bf16
 
-    cfg = UNetConfig(
-        image_size=size, in_channels=3, model_channels=64, out_channels=3,
-        num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
-        num_heads=2, use_scale_shift_norm=True,
-    )
+    if size >= 64:
+        # ADM-style at-scale proxy: the 64px README config's depth/attention
+        # topology at half width (reference script_util.py:149-159 presets)
+        cfg = UNetConfig(
+            image_size=size, in_channels=3, model_channels=128, out_channels=3,
+            num_res_blocks=2, attention_resolutions=(4, 8),
+            channel_mult=(1, 2, 3, 4), num_heads=4, use_scale_shift_norm=True,
+            resblock_updown=True,
+        )
+    else:
+        cfg = UNetConfig(
+            image_size=size, in_channels=3, model_channels=64, out_channels=3,
+            num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+            num_heads=2, use_scale_shift_norm=True,
+        )
     # f32 compute on CPU: XLA:CPU emulates bf16 ~30x slower, and the study
     # measures QUANTIZATION error (int8 vs unquantized), which dominates any
     # bf16-vs-f32 torso difference. On a real TPU backend the sampling model
@@ -92,6 +117,15 @@ def main():
     model = UNetModel(config=cfg, dtype=jnp.float32)
     model_bf16 = UNetModel(config=cfg, dtype=sample_dtype)
     diffusion = create_gaussian_diffusion(steps=T, noise_schedule="cosine")
+    # sampling may respace the trained diffusion (e.g. T=1000 trained,
+    # "250" ancestral / "ddim25" sampled — the reference's table configs)
+    sample_diffusion = (
+        create_gaussian_diffusion(
+            steps=T, noise_schedule="cosine", timestep_respacing=respacing
+        )
+        if respacing
+        else diffusion
+    )
 
     rs = np.random.RandomState(0)
 
@@ -121,36 +155,66 @@ def main():
 
     shape = (B, size, size, 3)
 
-    def make_chain():
+    loop = (
+        sample_diffusion.ddim_sample_loop
+        if sampler == "ddim"
+        else sample_diffusion.p_sample_loop
+    )
+
+    def make_chain(use_dc: bool):
         """Fresh jit under the CURRENT conv impl (read at trace time)."""
 
         @jax.jit
         def chain(params, key):
+            if use_dc:
+                # DeepCache variant: interval-N deep-feature reuse on the
+                # TRAINED model (diffusion/deep_cache.py; same wiring as the
+                # sampling CLIs' --deep_cache flag)
+                def apply_full(x, t, **kw):
+                    return model_bf16.apply(
+                        {"params": params}, x, t, cache_mode="full", **kw
+                    )
+
+                def apply_shallow(x, t, deep, **kw):
+                    return model_bf16.apply(
+                        {"params": params}, x, t, deep_cache=deep,
+                        cache_mode="shallow", **kw,
+                    )
+
+                sfn = deep_cache_model_fn(apply_full, apply_shallow, dc_interval)
+                state0 = zero_state(
+                    apply_full, jnp.zeros(shape), jnp.zeros((B,), jnp.int32)
+                )
+                return loop(sfn, shape, key, model_state0=state0)
+
             def model_fn(x, t, **kw):
                 return model_bf16.apply({"params": params}, x, t, **kw)
 
-            return diffusion.p_sample_loop(model_fn, shape, key)
+            return loop(model_fn, shape, key)
 
         return chain
 
     chains = {}
 
-    def sample_set(mode: str, seed0: int) -> np.ndarray:
-        set_conv_impl(mode)
-        if mode not in chains:
-            chains[mode] = make_chain()  # one compile per conv impl
-        chain = chains[mode]
+    def sample_set(name: str, seed0: int) -> np.ndarray:
+        # name: "base" = bf16/xla uncached; "variant" = int8 convs or DeepCache
+        set_conv_impl("int8" if (name == "variant" and not dc_interval) else "xla")
+        if name not in chains:
+            chains[name] = make_chain(
+                use_dc=(name == "variant" and dc_interval > 0)
+            )  # one compile per mode
+        chain = chains[name]
         outs = []
         for i in range(-(-n_samples // B)):
             outs.append(np.asarray(chain(ema, jax.random.key(seed0 + i))))
         return np.concatenate(outs)[:n_samples]
 
-    bf16_a = sample_set("xla", 100)
-    print(f"[int8q +{time.time()-t0:.0f}s] bf16 set A sampled", file=sys.stderr, flush=True)
-    int8_a = sample_set("int8", 100)  # SAME seeds as bf16_a
-    print(f"[int8q +{time.time()-t0:.0f}s] int8 set sampled", file=sys.stderr, flush=True)
-    bf16_b = sample_set("xla", 500)  # disjoint seeds: the noise floor
-    print(f"[int8q +{time.time()-t0:.0f}s] bf16 set B sampled", file=sys.stderr, flush=True)
+    bf16_a = sample_set("base", 100)
+    print(f"[int8q +{time.time()-t0:.0f}s] base set A sampled", file=sys.stderr, flush=True)
+    int8_a = sample_set("variant", 100)  # SAME seeds as bf16_a
+    print(f"[int8q +{time.time()-t0:.0f}s] variant ({variant}) set sampled", file=sys.stderr, flush=True)
+    bf16_b = sample_set("base", 500)  # disjoint seeds: the noise floor
+    print(f"[int8q +{time.time()-t0:.0f}s] base set B sampled", file=sys.stderr, flush=True)
 
     # ---- per-sample, same-seed chain deviation
     flat_b = bf16_a.reshape(n_samples, -1)
@@ -185,14 +249,17 @@ def main():
         statistics_from_activations(f_bf_b)
     )
 
+    chain_desc = respacing or str(T)
     result = {
-        "config": f"{size}px ch64 ADM UNet, {T}-step ancestral chain, "
+        "config": f"{size}px ch{cfg.model_channels} ADM UNet, "
+                  f"{chain_desc}-step {sampler} chain (T={T}), "
                   f"{train_steps} train steps, {n_samples} samples/set",
+        "variant": variant,
         "same_seed_pixel_corr_mean": round(float(corr.mean()), 6),
         "same_seed_pixel_corr_min": round(float(corr.min()), 6),
         "same_seed_rel_rmse_mean": round(float(rel_rmse.mean()), 5),
         "same_seed_rel_rmse_max": round(float(rel_rmse.max()), 5),
-        "set_frechet_int8_vs_base": round(float(fid_int), 6),
+        "set_frechet_variant_vs_base": round(float(fid_int), 6),
         "set_frechet_noise_floor_base_vs_base": round(float(fid_floor), 6),
         "wall_s": round(time.time() - t0, 1),
     }
