@@ -43,6 +43,11 @@ DEFAULT_PB_NAMES = (
     "classify_image_graph_def.pb",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "classify_image_graph_def.pb"),
 )
+INCEPTION_NPZ_ENV = "INCEPTION_NPZ"
+DEFAULT_NPZ_NAMES = (
+    "inception_v3_fid.npz",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "inception_v3_fid.npz"),
+)
 
 
 def main():
@@ -57,8 +62,10 @@ def main():
     parser.add_argument("ref_batch", help="path to reference batch npz file")
     parser.add_argument("sample_batch", help="path to sample batch npz file")
     parser.add_argument(
-        "--extractor", default="auto", choices=["auto", "inception", "pixel"],
-        help="feature extractor; 'auto' uses inception when the pb is available",
+        "--extractor", default="auto",
+        choices=["auto", "inception", "flax-inception", "pixel"],
+        help="feature extractor; 'auto' prefers the converted JAX Inception "
+             "npz, then the TF pb, then the pixel debug extractor",
     )
     args = parser.parse_args()
 
@@ -441,8 +448,29 @@ def find_inception_pb() -> str | None:
     return None
 
 
+def find_inception_npz() -> str | None:
+    cand = os.environ.get(INCEPTION_NPZ_ENV)
+    if cand and os.path.exists(cand):
+        return cand
+    for name in DEFAULT_NPZ_NAMES:
+        if os.path.exists(name):
+            return name
+    return None
+
+
 def make_extractor(kind: str) -> Extractor:
-    if kind in ("auto", "inception"):
+    if kind in ("auto", "inception", "flax-inception"):
+        # prefer the one-time-converted JAX port (no TF1 dependency, runs on
+        # the TPU); the TF pb path remains for byte-exact comparisons
+        npz = find_inception_npz()
+        if npz is not None and kind != "inception":
+            return FlaxInceptionExtractor(npz)
+        if kind == "flax-inception":
+            raise SystemExit(
+                "converted Inception weights not found. Run "
+                "`python evaluations/inception_flax.py convert <pb> "
+                f"evaluations/inception_v3_fid.npz` or set {INCEPTION_NPZ_ENV}."
+            )
         pb = find_inception_pb()
         if pb is not None:
             return TFInceptionExtractor(pb)

@@ -130,6 +130,7 @@ class TrainLoop:
         ckpt_backend: str = "flax",
         loss_weighting: str = "",
         spatial_shard: int = 0,
+        tensor_shard: int = 0,
         cond_dropout: float = 0.0,
         cond_null_y: int = -1,
     ):
@@ -191,6 +192,31 @@ class TrainLoop:
             # ('data','space') mesh keeps it — only a mesh that CANNOT carry
             # the active SP constraints marks the state as stale.
             sp.clear_spatial_sharding()
+        # Tensor parallelism (parallel/tp.py): factor the pool as data x
+        # model, shard batch over 'data' and every NHWC activation's C over
+        # 'model' (constraints live inside the model, exactly as in the
+        # sampling CLIs). The deep-trunk complement to SP for training: per-
+        # chip activation memory drops by the model factor while params stay
+        # replicated; GSPMD handles the channel-parallel convs and grad sync.
+        if tensor_shard and tensor_shard > 1:
+            assert not (spatial_shard and spatial_shard > 1), (
+                "spatial_shard and tensor_shard are mutually exclusive"
+            )
+            sp.clear_spatial_sharding()  # requested TP supersedes stale ambient SP
+            if mesh is None:
+                n = len(jax.devices())
+                assert n % tensor_shard == 0, (
+                    f"tensor_shard {tensor_shard} does not divide {n} devices"
+                )
+                d = n // tensor_shard
+                assert self.global_batch % d == 0, (
+                    f"global batch {self.global_batch} does not shard over "
+                    f"data axis {d} (= {n} devices / tensor_shard {tensor_shard})"
+                )
+                mesh = create_mesh(axes=(("data", d), ("model", tensor_shard)))
+            assert "model" in mesh.axis_names, mesh.axis_names
+            tp.clear_tensor_sharding()
+            tp.set_tensor_sharding(mesh)
         if tp.active() and (mesh is None or "model" not in mesh.axis_names):
             # same staleness rule for tensor parallelism: a 'model'-axis mesh
             # handed in by the caller keeps ambient TP active (the in-model
@@ -518,12 +544,14 @@ class TrainLoop:
             # over 'data'; XLA all-gathers params for compute and
             # reduce-scatters grads. Single-host save/restore still works:
             # checkpoint IO gathers through fully-addressable arrays.
-            # with an SP 'space' axis present, spread shards over the whole
-            # pool (one dim over ('data','space')) — otherwise each space
-            # group would hold a full copy of every 'data'-axis shard
-            fsdp_axes = (
-                ("data", "space") if "space" in self.mesh.axis_names else "data"
-            )
+            # with an SP 'space' (or TP 'model') axis present, spread shards
+            # over the whole pool — otherwise each space/model group would
+            # hold a full copy of every 'data'-axis shard
+            fsdp_axes = "data"
+            if "space" in self.mesh.axis_names:
+                fsdp_axes = ("data", "space")
+            elif "model" in self.mesh.axis_names:
+                fsdp_axes = ("data", "model")
             self._param_shd = fsdp_sharding_tree(self.mesh, self.params, fsdp_axes)
             self._opt_shd = fsdp_sharding_tree(self.mesh, self.opt_state, fsdp_axes)
             self._ema_shd = [
@@ -543,9 +571,11 @@ class TrainLoop:
             # Vectors are zero-padded to a multiple of the mesh size (eager
             # device_put needs even shards); padding tails stay zero under
             # the Adam update and are stripped at save/unravel time.
-            axes = (
-                ("data", "space") if "space" in self.mesh.axis_names else "data"
-            )
+            axes = "data"
+            if "space" in self.mesh.axis_names:
+                axes = ("data", "space")
+            elif "model" in self.mesh.axis_names:
+                axes = ("data", "model")
             shards = int(np.prod([self.mesh.shape[a] for a in (
                 axes if isinstance(axes, tuple) else (axes,)
             )]))

@@ -106,6 +106,18 @@ def main():
         )
         mesh = create_mesh(axes=(("data", n // s), ("space", s)))
         sp.set_spatial_sharding(mesh)
+    elif args.tensor_shard and args.tensor_shard > 1:
+        # DP x TP: shard each activation's C over a 'model' axis (parallel/tp.py)
+        from guided_diffusion_clip_tpu.parallel import tp
+        from guided_diffusion_clip_tpu.parallel.mesh import create_mesh
+
+        n, s = len(jax.devices()), args.tensor_shard
+        assert n % s == 0, f"--tensor_shard {s} does not divide {n} devices"
+        assert (B * world) % (n // s) == 0, (
+            f"global batch {B * world} does not shard over data axis {n // s}"
+        )
+        mesh = create_mesh(axes=(("data", n // s), ("model", s)))
+        tp.set_tensor_sharding(mesh)
     else:
         mesh = create_data_mesh(B * world)
     shape = (B, args.image_size, args.image_size, 3)
@@ -310,6 +322,7 @@ def create_argparser():
         save_interval=10000,
         param_sharding="replicated",  # "fsdp" shards params/opt over the data axis
         spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
+        tensor_shard=0,  # >1: shard activation C over a 'model' mesh axis (TP)
     )
     defaults.update(classifier_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -112,6 +112,7 @@ def main():
         ckpt_backend=args.ckpt_backend,
         loss_weighting=args.loss_weighting,
         spatial_shard=args.spatial_shard,
+        tensor_shard=args.tensor_shard,
         cond_dropout=args.cond_dropout,
         cond_null_y=args.cfg_null_y,
     ).run_loop()
@@ -128,6 +129,7 @@ def create_argparser():
         param_sharding="replicated",  # "fsdp" shards params/opt/EMA over the data axis
         opt_impl="tree",  # "flat": fused single-buffer AdamW+EMA; "zero1": flat + sharded opt/EMA state (neither composes with fsdp)
         spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
+        tensor_shard=0,  # >1: shard activation C over a 'model' mesh axis (TP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
         loss_weighting="",  # "min_snr_5": SNR-clipped loss re-weighting

@@ -114,6 +114,7 @@ def main():
         param_sharding=args.param_sharding,
         opt_impl=args.opt_impl,
         spatial_shard=args.spatial_shard,
+        tensor_shard=args.tensor_shard,
         ckpt_backend=args.ckpt_backend,
         loss_weighting=args.loss_weighting,
     ).run_loop()
@@ -141,6 +142,7 @@ def create_argparser():
         param_sharding="replicated",
         opt_impl="tree",  # "flat": fused single-buffer AdamW+EMA; "zero1": flat + sharded opt/EMA state (neither composes with fsdp)
         spatial_shard=0,  # >1: shard activation H over a 'space' mesh axis (SP)
+        tensor_shard=0,  # >1: shard activation C over a 'model' mesh axis (TP)
         ckpt_backend="flax",  # "orbax": async + natively sharded saves
         train_conv_impl="xla",  # "int8": quantized fwd, STE bf16 bwd (measure on-chip)
         loss_weighting="",  # "min_snr_5": SNR-clipped loss re-weighting

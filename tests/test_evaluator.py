@@ -143,3 +143,51 @@ class TestCLI:
             [l for l in out.splitlines() if l.startswith(f"FID{tag}:")][0].split(":")[1]
         )
         assert fid < 5.0
+
+
+class TestExtractorDiscovery:
+    """make_extractor must prefer the converted JAX Inception npz (the
+    TPU-native path) and honor explicit kinds (round-4 wiring: the
+    FlaxInceptionExtractor previously existed but was never dispatched)."""
+
+    def _write_npz(self, path):
+        import numpy as np
+
+        from evaluations.inception_flax import random_params
+
+        flat = {}
+        for k, v in random_params(0).items():
+            if isinstance(v, dict):
+                flat[f"{k}//w"], flat[f"{k}//b"] = v["w"], v["b"]
+            else:
+                flat[k] = v
+        np.savez(path, **flat)
+
+    def test_auto_prefers_flax_npz(self, tmp_path, monkeypatch):
+        from evaluations import evaluator as ev
+
+        npz = str(tmp_path / "inception_v3_fid.npz")
+        self._write_npz(npz)
+        monkeypatch.setenv(ev.INCEPTION_NPZ_ENV, npz)
+        ex = ev.make_extractor("auto")
+        assert isinstance(ex, ev.FlaxInceptionExtractor)
+        ex2 = ev.make_extractor("flax-inception")
+        assert isinstance(ex2, ev.FlaxInceptionExtractor)
+
+    def test_auto_falls_back_to_pixel(self, tmp_path, monkeypatch):
+        from evaluations import evaluator as ev
+
+        monkeypatch.delenv(ev.INCEPTION_NPZ_ENV, raising=False)
+        monkeypatch.delenv(ev.INCEPTION_PB_ENV, raising=False)
+        monkeypatch.chdir(tmp_path)  # no default-named files in cwd
+        assert isinstance(ev.make_extractor("auto"), ev.PixelExtractor)
+
+    def test_explicit_flax_without_npz_raises(self, tmp_path, monkeypatch):
+        import pytest as _pytest
+
+        from evaluations import evaluator as ev
+
+        monkeypatch.delenv(ev.INCEPTION_NPZ_ENV, raising=False)
+        monkeypatch.chdir(tmp_path)
+        with _pytest.raises(SystemExit, match="converted Inception"):
+            ev.make_extractor("flax-inception")

@@ -241,6 +241,36 @@ class TestTrainSampleRoundTrip:
             rows = list(csv.DictReader(f))
         assert rows and float(rows[0]["loss"]) > 0
 
+    def test_image_train_tp_smoke(self, dataset, tmp_path):
+        """--tensor_shard 2 end to end: DP(4) x TP(2) mesh through the real
+        CLI — activation-C sharding (parallel/tp.py, VERDICT r3 item 6)
+        composed with the full train loop + checkpoint save."""
+        img_dir, clip_path, _ = dataset
+        run_dir = str(tmp_path / "tp_run")
+        os.makedirs(run_dir)
+        run_script(
+            "image_train.py",
+            [
+                *TINY_FLAGS,
+                "--data_dir", img_dir,
+                "--clip_file_path", clip_path,
+                "--class_cond", "True",
+                "--batch_size", "8",
+                "--save_interval", "2",
+                "--log_interval", "1",
+                "--tensor_shard", "2",
+            ],
+            env_extra={
+                "DIFFUSION_TRAINING_TEST": "1",
+                "OPENAI_LOGDIR": run_dir,
+                "OPENAI_LOG_FORMAT": "log,csv",
+            },
+        )
+        assert glob.glob(os.path.join(run_dir, "model*.flax"))
+        with open(os.path.join(run_dir, "progress.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert rows and float(rows[0]["loss"]) > 0
+
     def test_image_sample_tp_smoke(self, dataset, tmp_path):
         """--tensor_shard 4 end to end: ('data',2) x ('model',4) sampling mesh
         through the real CLI — channel sharding (parallel/tp.py) through the

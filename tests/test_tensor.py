@@ -224,3 +224,105 @@ class TestTPChain:
         tp.set_tensor_sharding(tp_mesh())
         got = jax.jit(chain)(params, key)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-6)
+
+
+@pytest.mark.slow
+class TestTPTrainStep:
+    """Training-side TP (VERDICT r3 item 6): TrainLoop(tensor_shard=S) must
+    produce the same parameter update as plain DP — GSPMD's channel-parallel
+    convs and grad sync are value-preserving."""
+
+    @staticmethod
+    def _data_gen(batch_size, seed=0):
+        rs = np.random.RandomState(seed)
+        while True:
+            yield rs.uniform(-1, 1, (batch_size, 16, 16, 3)).astype(np.float32), {}
+
+    @classmethod
+    def _make_loop(cls, init_params=None, **kw):
+        import tempfile
+
+        from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
+        from guided_diffusion_clip_tpu.utils import logger
+
+        logger.configure_dir(dir=tempfile.mkdtemp(), format_strs=[])
+        model = UNetModel(config=tiny_cfg())
+        diffusion = create_gaussian_diffusion(
+            steps=20, noise_schedule="cosine", learn_sigma=True,
+            rescale_learned_sigmas=True,
+        )
+        return TrainLoop(
+            model=model, diffusion=diffusion, data=cls._data_gen(8),
+            batch_size=8, microbatch=-1, lr=1e-3, ema_rate="0.99",
+            log_interval=10**9, save_interval=10**9, seed=7,
+            init_params=init_params, **kw,
+        )
+
+    def _assert_params_match(self, loop_ref, loop_got, atol=2e-6):
+        for (kd, vd), (ks, vs) in zip(
+            jax.tree_util.tree_flatten_with_path(jax.device_get(loop_ref.params))[0],
+            jax.tree_util.tree_flatten_with_path(jax.device_get(loop_got.params))[0],
+        ):
+            np.testing.assert_allclose(vs, vd, rtol=2e-5, atol=atol, err_msg=str(kd))
+
+    def test_dp_tp_step_matches_dp_only(self):
+        loop_dp = self._make_loop(mesh=create_mesh(axes=(("data", 8),)))
+        init_params = jax.device_get(loop_dp.params)
+
+        # tensor_shard plumbing builds the ('data',2) x ('model',4) mesh and
+        # activates TP itself — the exact CLI path (--tensor_shard 4)
+        loop_tp = self._make_loop(init_params=init_params, tensor_shard=4)
+        assert tp.active()
+        assert loop_tp.mesh.shape == {"data": 2, "model": 4}
+
+        b, c = next(self._data_gen(8, seed=42))
+        loop_dp.run_step(b, c)
+        loop_tp.run_step(b, c)
+        self._assert_params_match(loop_dp, loop_tp)
+
+    def test_zero1_tp_step_matches_dp_only(self):
+        # ZeRO-1 composed with TP: flat opt/EMA vectors shard over BOTH axes
+        loop_dp = self._make_loop(mesh=create_mesh(axes=(("data", 8),)))
+        init_params = jax.device_get(loop_dp.params)
+
+        loop_tp = self._make_loop(
+            init_params=init_params, tensor_shard=4, opt_impl="zero1"
+        )
+        assert len(loop_tp.opt_state["m"].sharding.device_set) == 8
+
+        b, c = next(self._data_gen(8, seed=42))
+        loop_dp.run_step(b, c)
+        loop_tp.run_step(b, c)
+        self._assert_params_match(loop_dp, loop_tp)
+
+    def test_fsdp_tp_step_matches_dp_only(self):
+        # ZeRO-3 composed with TP: param shards spread over ('data','model')
+        loop_dp = self._make_loop(mesh=create_mesh(axes=(("data", 8),)))
+        init_params = jax.device_get(loop_dp.params)
+
+        loop_tp = self._make_loop(
+            init_params=init_params, tensor_shard=4, param_sharding="fsdp"
+        )
+        specs = [s.spec for s in jax.tree_util.tree_leaves(loop_tp._param_shd)]
+        assert any(("data", "model") in s for s in specs), specs[:8]
+
+        b, c = next(self._data_gen(8, seed=42))
+        loop_dp.run_step(b, c)
+        loop_tp.run_step(b, c)
+        self._assert_params_match(loop_dp, loop_tp)
+
+    def test_trainloop_repins_ambient_tp_to_loop_mesh(self):
+        # ADVICE r3: ambient TP pinned to a DIFFERENT mesh (e.g. a sampling
+        # CLI's local latency mesh) must be re-activated on the loop's mesh,
+        # not silently kept pointing at the stale device assignment
+        stale = create_mesh(axes=(("model", 4),), devices=jax.devices()[:4])
+        tp.set_tensor_sharding(stale, data_axis=None)
+        loop_mesh = tp_mesh(data=2, model=4)
+        self._make_loop(mesh=loop_mesh)
+        assert tp.active()
+        assert tp._STATE[0] is loop_mesh
+        assert tp._STATE[1] == "data" and tp._STATE[2] == "model"
+
+    def test_spatial_and_tensor_shard_flags_are_exclusive(self):
+        with pytest.raises(AssertionError, match="mutually exclusive"):
+            self._make_loop(tensor_shard=4, spatial_shard=2)
