@@ -25,15 +25,25 @@ serializes device use; decode/encode runs outside it. Sampler selection,
 int8 inference, DeepCache, and classifier-free guidance (--cfg_scale, a
 server-level knob — the CFG chain is a different program) compose exactly
 like scripts/image_sample.py.
+
+RNG is PER-SAMPLE (the chain is vmapped over per-sample fold_in keys), so a
+request's bytes depend only on its own (seed, cond) — not on padding or on
+whatever it was co-batched with. That makes request COALESCING safe:
+with --coalesce_ms W > 0, requests that arrive while the device is busy (or
+within a W-ms window) are packed into ONE dispatch of the compiled batch and
+the slices distributed back — concurrent small requests share a chain
+instead of queuing serially behind the device lock.
 """
 
 import argparse
 import base64
+import collections
 import io
 import json
 import os
 import sys
 import threading
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -103,40 +113,64 @@ class Sampler:
                 "(image_sample.py composes them if you need that)"
             )
 
-        def run_chain(params, key, model_kwargs):
-            def model_fn(x, t, **kw):
-                with int8_emit("s8"):
-                    return model.apply({"params": params}, x, t, **kw)
+        shape1 = (1, args.image_size, args.image_size, 3)
 
-            mf, state0 = model_fn, None
-            if cfg_scale:
-                mf = cfg_model_fn(model_fn, cfg_scale, {"clip_feat": 0.0})
-            if deep_cache_n > 1:
-                def apply_full(x, t, **kw):
-                    with int8_emit("s8"):
-                        return model.apply({"params": params}, x, t,
-                                           cache_mode="full", **kw)
-
-                def apply_shallow(x, t, deep, **kw):
-                    with int8_emit("s8"):
-                        return model.apply({"params": params}, x, t,
-                                           deep_cache=deep,
-                                           cache_mode="shallow", **kw)
-
-                mf = deep_cache_model_fn(apply_full, apply_shallow, deep_cache_n)
-                state0 = zero_state(
-                    apply_full, jnp.zeros(self.shape),
-                    jnp.zeros((self.batch,), jnp.int32),
+        def run_chain(params, seeds, subidx, feats):
+            # vmapped over per-sample (request_seed, index-within-request,
+            # cond): sample i's value depends ONLY on its own inputs, which
+            # is what makes padding and coalescing semantically invisible
+            def one(seed, sub, feat):
+                key = jax.random.fold_in(jax.random.key(seed), sub)
+                model_kwargs = (
+                    {"clip_feat": feat[None]} if self.cond_key else {}
                 )
-            out = loop(
-                mf, self.shape, key, clip_denoised=True,
-                model_kwargs=model_kwargs, model_state0=state0,
-            )
+
+                def model_fn(x, t, **kw):
+                    with int8_emit("s8"):
+                        return model.apply({"params": params}, x, t, **kw)
+
+                mf, state0 = model_fn, None
+                if cfg_scale:
+                    mf = cfg_model_fn(model_fn, cfg_scale, {"clip_feat": 0.0})
+                if deep_cache_n > 1:
+                    def apply_full(x, t, **kw):
+                        with int8_emit("s8"):
+                            return model.apply({"params": params}, x, t,
+                                               cache_mode="full", **kw)
+
+                    def apply_shallow(x, t, deep, **kw):
+                        with int8_emit("s8"):
+                            return model.apply({"params": params}, x, t,
+                                               deep_cache=deep,
+                                               cache_mode="shallow", **kw)
+
+                    mf = deep_cache_model_fn(
+                        apply_full, apply_shallow, deep_cache_n
+                    )
+                    state0 = zero_state(
+                        apply_full, jnp.zeros(shape1),
+                        jnp.zeros((1,), jnp.int32),
+                    )
+                out = loop(
+                    mf, shape1, key, clip_denoised=True,
+                    model_kwargs=model_kwargs, model_state0=state0,
+                )
+                return out[0]
+
+            out = jax.vmap(one)(seeds, subidx, feats)
             return ((out + 1) * 127.5).clip(0, 255).astype(jnp.uint8)
 
         self._chain = jax.jit(run_chain)
         self._lock = threading.Lock()
         self.compiled = False
+        # request coalescing (see module docstring); 0 = off
+        self.coalesce_ms = float(getattr(args, "coalesce_ms", 0.0))
+        self.dispatches = 0
+        self.coalesced_requests = 0
+        if self.coalesce_ms > 0:
+            self._queue: "collections.deque" = collections.deque()
+            self._queue_cv = threading.Condition()
+            threading.Thread(target=self._dispatcher, daemon=True).start()
 
     def warmup(self):
         logger.log(f"serve: compiling the chain (batch {self.batch}, "
@@ -146,33 +180,101 @@ class Sampler:
         self.compiled = True
         logger.log("serve: chain compiled; serving")
 
-    def _pad_cond(self, cond, n):
-        """Request conditioning -> the compiled batch's kwargs."""
-        if self.cond_key is None:
-            return {}
-        full = np.zeros((self.batch, 512), np.float32)
-        if cond is not None:
-            arr = np.asarray(cond, np.float32)
-            if arr.shape != (n, 512):
-                raise ValueError(
-                    f"clip_feat must be [{n}, 512], got {list(arr.shape)}"
-                )
-            full[:n] = arr
-        return {"clip_feat": jnp.asarray(full)}
-
-    def sample(self, n, seed, cond):
+    def _validate(self, n, cond):
+        """-> per-sample feat array [n, 512] (zeros when unconditioned)."""
         if not 1 <= n <= self.batch:
             raise ValueError(
                 f"num_samples must be in [1, {self.batch}] (the compiled "
                 f"serving batch; restart with a larger --batch_size)"
             )
-        kwargs = self._pad_cond(cond, n)
-        key = jax.random.key(int(seed))
+        feats = np.zeros((n, 512), np.float32)
+        if cond is not None and self.cond_key is not None:
+            arr = np.asarray(cond, np.float32)
+            if arr.shape != (n, 512):
+                raise ValueError(
+                    f"clip_feat must be [{n}, 512], got {list(arr.shape)}"
+                )
+            feats = arr
+        return feats
+
+    def _run_batch(self, seeds, subidx, feats):
+        """Pad per-sample arrays to the compiled batch and dispatch ONCE."""
+        n = len(seeds)
+        pad = self.batch - n
+        seeds = np.pad(np.asarray(seeds, np.int32), (0, pad))
+        subidx = np.pad(np.asarray(subidx, np.int32), (0, pad))
+        feats = np.pad(np.asarray(feats, np.float32), ((0, pad), (0, 0)))
         with self._lock:
-            out = np.asarray(jax.block_until_ready(
-                self._chain(self.params, key, kwargs)
-            ))
+            self.dispatches += 1
+            out = np.asarray(jax.block_until_ready(self._chain(
+                self.params, jnp.asarray(seeds), jnp.asarray(subidx),
+                jnp.asarray(feats),
+            )))
         return out[:n]
+
+    def sample(self, n, seed, cond):
+        feats = self._validate(n, cond)
+        seeds = np.full((n,), int(seed), np.int32)
+        subidx = np.arange(n, dtype=np.int32)
+        if self.coalesce_ms <= 0 or not self.compiled:
+            return self._run_batch(seeds, subidx, feats)
+        pending = _Pending(n, seeds, subidx, feats)
+        with self._queue_cv:
+            self._queue.append(pending)
+            self._queue_cv.notify()
+        pending.event.wait()
+        if pending.error is not None:
+            raise pending.error
+        return pending.result
+
+    def _dispatcher(self):
+        """Coalescing loop: the first queued request opens a --coalesce_ms
+        window; whatever else fits in the compiled batch by the deadline
+        rides the same dispatch. Per-sample RNG keeps every request's bytes
+        identical to a solo run."""
+        while True:
+            with self._queue_cv:
+                while not self._queue:
+                    self._queue_cv.wait()
+                items = [self._queue.popleft()]
+                used = items[0].n
+                deadline = time.monotonic() + self.coalesce_ms / 1000.0
+                while used < self.batch:
+                    if self._queue and self._queue[0].n <= self.batch - used:
+                        items.append(self._queue.popleft())
+                        used += items[-1].n
+                        continue
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._queue:
+                        break  # window over, or the head doesn't fit
+                    self._queue_cv.wait(timeout=remaining)
+            if len(items) > 1:
+                self.coalesced_requests += len(items)
+            try:
+                out = self._run_batch(
+                    np.concatenate([i.seeds for i in items]),
+                    np.concatenate([i.subidx for i in items]),
+                    np.concatenate([i.feats for i in items]),
+                )
+                off = 0
+                for i in items:
+                    i.result = out[off:off + i.n]
+                    off += i.n
+            except Exception as e:  # deliver failures to the waiters
+                for i in items:
+                    i.error = e
+            for i in items:
+                i.event.set()
+
+
+class _Pending:
+    """One queued request awaiting a coalesced dispatch."""
+
+    def __init__(self, n, seeds, subidx, feats):
+        self.n, self.seeds, self.subidx, self.feats = n, seeds, subidx, feats
+        self.event = threading.Event()
+        self.result = None
+        self.error: Exception | None = None
 
 
 def _make_handler(sampler: Sampler):
@@ -201,6 +303,9 @@ def _make_handler(sampler: Sampler):
                 "cond": sampler.cond_key,
                 "sampler": getattr(a, "sampler", "") or
                            ("ddim" if a.use_ddim else "ancestral"),
+                "coalesce_ms": sampler.coalesce_ms,
+                "dispatches": sampler.dispatches,
+                "coalesced_requests": sampler.coalesced_requests,
             })
 
         def do_POST(self):
@@ -268,6 +373,7 @@ def create_argparser():
         conv_impl="auto",  # int8 for the measured fast path
         cfg_scale=0.0,     # classifier-free guidance (server-level knob)
         deep_cache=0,      # deep-feature reuse interval
+        coalesce_ms=0.0,   # >0: batch concurrent requests into one dispatch
         main_path="",
     )
     defaults.update(model_and_diffusion_defaults())

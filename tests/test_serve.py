@@ -157,3 +157,64 @@ def test_serve_end_to_end(tmp_path):
             proc.wait(timeout=20)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(600)
+def test_serve_coalescing(tmp_path):
+    """--coalesce_ms packs concurrent requests into one device dispatch, and
+    per-sample RNG keeps each request's bytes identical to a solo run."""
+    import concurrent.futures
+    import io
+
+    ckpt = str(tmp_path / "model000001.flax")
+    _make_ckpt(ckpt)
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OPENAI_LOGDIR=str(tmp_path / "log"))
+    proc = subprocess.Popen(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+            *TINY,
+            "--model_path", ckpt,
+            "--batch_size", "4",
+            "--timestep_respacing", "5",
+            "--coalesce_ms", "400",
+            "--port", str(port),
+        ],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+    def fetch(seed):
+        with _post(port, {"num_samples": 2, "seed": seed}) as r:
+            return np.load(io.BytesIO(r.read()))["arr_0"]
+
+    try:
+        h = _wait_healthy(port, proc)
+        assert h["coalesce_ms"] == 400
+
+        # solo baselines (sequential -> separate dispatches)
+        solo3, solo9 = fetch(3), fetch(9)
+        assert (solo3 != solo9).any()
+        d0 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=5).read())["dispatches"]
+
+        # two concurrent 2-sample requests (batch 4) -> ONE coalesced dispatch
+        with concurrent.futures.ThreadPoolExecutor(2) as pool:
+            f3 = pool.submit(fetch, 3)
+            f9 = pool.submit(fetch, 9)
+            co3, co9 = f3.result(), f9.result()
+        h2 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=5).read())
+        assert h2["dispatches"] == d0 + 1, (d0, h2)
+        assert h2["coalesced_requests"] >= 2
+
+        # coalesced bytes == solo bytes: co-batching is invisible
+        np.testing.assert_array_equal(co3, solo3)
+        np.testing.assert_array_equal(co9, solo9)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
