@@ -325,15 +325,37 @@ def main():
                 )
             return float(jnp.sum(x))
 
+        def run_one_segment(key, t_hi=None):
+            # one seg-length segment: same executable as the full chain (the
+            # segment start is a traced scalar, seg_len is static)
+            t_hi = bounds[0] if t_hi is None else t_hi
+            x = init_noise(key)
+            x = run_segment(params, cparams, x, key, t_hi, bounds[0] - bounds[1], classes)
+            return float(jnp.sum(x))
+
         print(f"[bench +{time.time() - _T0:.0f}s] {mode}: compile+warm start", file=sys.stderr, flush=True)
         t0 = time.time()
-        run_and_fetch(jax.random.key(1))
+        # warm with ONE segment, not a full chain: the executable is shared
+        # by every equal-length segment, so this pays the whole compile while
+        # costing ~1/5 of a chain (the relay compile alone can eat 550 s of a
+        # 700 s watchdog — every second saved here buys the train section room)
+        run_one_segment(jax.random.key(1))
         compile_s = time.time() - t0
-        print(f"[bench +{time.time() - _T0:.0f}s] {mode}: compile+warm done in {compile_s:.0f}s", file=sys.stderr, flush=True)
-        return run_and_fetch, compile_s
+        # two warm segments give a steady-state per-step estimate for an
+        # EARLY headline emit (exact chain repeats may not fit a slow-relay day)
+        t0 = time.time()
+        run_one_segment(jax.random.key(11))
+        run_one_segment(jax.random.key(12))
+        est_chain_s = (time.time() - t0) / 2 * (len(bounds) - 1)
+        print(
+            f"[bench +{time.time() - _T0:.0f}s] {mode}: compile done in {compile_s:.0f}s, "
+            f"est {est_chain_s:.1f}s/chain from warm segments",
+            file=sys.stderr, flush=True,
+        )
+        return run_and_fetch, compile_s, est_chain_s
 
     def measure(mode: str, n_repeats: int, on_partial=None):
-        run_and_fetch, compile_s = warm_up(mode)
+        run_and_fetch, compile_s, _ = warm_up(mode)
         times = []
         for i in range(n_repeats):
             t0 = time.time()
@@ -349,10 +371,14 @@ def main():
     modes = [m for m in os.environ.get("BENCH_MODES", "int8,bf16").split(",") if m]
     result: dict = {}
 
-    def set_headline(best_s: float, compile_s: float, repeats_done: int) -> None:
+    def set_headline(
+        best_s: float, compile_s: float, repeats_done: int, estimated: bool = False
+    ) -> None:
         """Fill the headline fields and EMIT — called after every timed
         repeat of the headline mode, so a parseable line exists on stdout
-        as early as possible (the driver kills long benches; see docstring)."""
+        as early as possible (the driver kills long benches; see docstring).
+        estimated=True marks a value projected from warm steady-state
+        segments before any full-chain repeat has run."""
         global _BEST_RESULT
         samples_per_min = B * 60.0 / best_s
         result.update(
@@ -365,6 +391,7 @@ def main():
                 "sec_per_batch": round(best_s, 3),
                 "compile_sec": round(compile_s, 1),
                 "repeats_done": repeats_done,
+                "estimated_from_warm_segments": estimated,
                 "device": str(jax.devices()[0]),
                 "baseline_estimate": f"{A100_BASELINE_SAMPLES_PER_MIN} samples/min on A100 (PyTorch fp16, estimated; reference publishes no throughput)",
             }
@@ -389,8 +416,13 @@ def main():
     # BASELINE.md north star), then the remaining headline repeats (compiled
     # executable kept alive — no recompile), then extra precision modes.
     global _BEST_RESULT
-    headline_run, headline_compile_s = warm_up(modes[0])
+    headline_run, headline_compile_s, est_chain_s = warm_up(modes[0])
     headline_times = []
+
+    # preliminary headline from the warm steady-state segments — on a
+    # slow-relay day (compile alone observed up to 550 s) this is the line
+    # the watchdog salvages; exact repeats overwrite it when they fit
+    set_headline(est_chain_s, headline_compile_s, 0, estimated=True)
 
     def time_headline_repeat() -> None:
         t0 = time.time()
@@ -398,14 +430,17 @@ def main():
         headline_times.append(time.time() - t0)
         set_headline(min(headline_times), headline_compile_s, len(headline_times))
 
-    time_headline_repeat()
+    if _room_for(est_chain_s + 15):
+        time_headline_repeat()
 
     # Training datapoint (64px README config, tools/train_step_bench.py
     # semantics). Runs BEFORE extra sampling repeats/modes so it can't be
     # starved; still best-effort so a wedged train compile can't eat the
-    # emitted headline.
+    # emitted headline. Gate leniently (train compile measured ~200 s but
+    # relay variance is huge): an overrun only costs lower-priority
+    # sections — the watchdog salvages the emitted headline either way.
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        if not _room_for(240):
+        if not _room_for(130):
             result["train_skipped"] = (
                 f"headline sampling used {time.time() - _T0:.0f}s of the "
                 f"{WATCHDOG_S:.0f}s watchdog budget"
@@ -419,10 +454,7 @@ def main():
         _emit(result)
 
     # Remaining headline repeats: ~1 chain each, already compiled.
-    chain_s = headline_times[0]
-    for _ in range(repeats - 1):
-        if not _room_for(chain_s + 30):
-            break
+    while len(headline_times) < repeats and _room_for(est_chain_s + 30):
         time_headline_repeat()
 
     for extra in modes[1:]:

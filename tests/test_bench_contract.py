@@ -56,9 +56,13 @@ def test_bench_emits_parseable_lines_early_and_exits_zero():
         for key in ("metric", "value", "unit", "vs_baseline"):
             assert key in p, p
         assert p["value"] > 0
-    # earliest line is the first timed repeat; later lines only enrich
-    assert parsed[0]["repeats_done"] == 1
-    assert parsed[-1]["repeats_done"] >= parsed[0]["repeats_done"]
+    # earliest line is the warm-segment ESTIMATE (emitted before any full
+    # chain so a slow-relay watchdog still salvages a headline), later lines
+    # are exact repeats that only enrich
+    assert parsed[0]["repeats_done"] == 0
+    assert parsed[0]["estimated_from_warm_segments"] is True
+    assert parsed[-1]["repeats_done"] >= 1
+    assert parsed[-1]["estimated_from_warm_segments"] is False
 
 
 @pytest.mark.slow
