@@ -25,6 +25,36 @@ from . import gaussian as G
 from .schedules import DiffusionSchedule, ModelMeanType, ModelVarType
 
 
+def _keys_batched(rng) -> bool:
+    """True when `rng` is a [B] vector of typed PRNG keys — PER-SAMPLE RNG.
+
+    Every loop here accepts either one scalar key (batch-level noise, the
+    default) or a [batch] key vector: then every noise draw is vmapped over
+    the keys, so sample i's randomness depends ONLY on keys[i]. Because the
+    models mix nothing across the batch axis (GroupNorm/attention/int8
+    scales are all per-image), sample i's output is then independent of
+    whatever it is batched with — the property serving-side request
+    coalescing relies on (scripts/serve.py). The model still runs on the
+    merged batch (no vmap over the network — measured 44% slower)."""
+    return jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) and rng.ndim == 1
+
+
+def _split(rng, n):
+    """random.split for a scalar key ([n] out) or [B] keys ([n, B] out) —
+    either way the leading axis is the split index (unpackable/scannable)."""
+    if _keys_batched(rng):
+        return jax.vmap(lambda k: jax.random.split(k, n), out_axes=1)(rng)
+    return jax.random.split(rng, n)
+
+
+def _normal(rng, shape, dtype):
+    """random.normal from a scalar key, or row-wise from [B] keys."""
+    if _keys_batched(rng):
+        assert shape[0] == rng.shape[0], (shape, rng.shape)
+        return jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype))(rng)
+    return jax.random.normal(rng, shape, dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
     """Static sampling configuration (hashable; safe as a jit static arg)."""
@@ -42,14 +72,14 @@ def _start_state(sched, cfg, shape, rng, noise=None, init_image=None):
     if cfg.denoise_start_point == -1:
         t_start = sched.num_timesteps
         if noise is None:
-            noise = jax.random.normal(rng, shape, dtype=jnp.float32)
+            noise = _normal(rng, shape, jnp.float32)
         img = noise
     else:
         t_start = int(cfg.denoise_start_point)
         assert 0 < t_start <= sched.num_timesteps
         assert init_image is not None, "denoise_start_point requires an init image"
         t0 = jnp.full((shape[0],), t_start - 1, dtype=jnp.int32)
-        start_noise = jax.random.normal(rng, shape, dtype=jnp.float32)
+        start_noise = _normal(rng, shape, jnp.float32)
         img = G.q_sample(sched, init_image, t0, start_noise)
     return img, t_start
 
@@ -79,7 +109,7 @@ def p_sample_step(
     )
     if cond_fn is not None:
         out = G.condition_mean(sched, cond_fn, out, x, t, model_kwargs=model_kwargs)
-    noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+    noise = _normal(rng, x.shape, x.dtype)
     nonzero_mask = (t != 0).astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
     sample = out.mean + nonzero_mask * jnp.exp(0.5 * out.log_variance) * noise
     return sample, out.pred_xstart
@@ -120,7 +150,7 @@ def ddim_step(
         * jnp.sqrt((1.0 - alpha_bar_prev) / (1.0 - alpha_bar))
         * jnp.sqrt(1.0 - alpha_bar / alpha_bar_prev)
     )
-    noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+    noise = _normal(rng, x.shape, x.dtype)
     mean_pred = (
         out.pred_xstart * jnp.sqrt(alpha_bar_prev)
         + jnp.sqrt(1.0 - alpha_bar_prev - sigma**2) * eps
@@ -174,10 +204,10 @@ def _scan_loop(
     -> (out, new_state)`, with the state threaded through the scan carry
     (used by deep-feature caching, diffusion/deep_cache.py). The step must
     call the model exactly once — true of every step_fn here."""
-    rng, init_rng = jax.random.split(rng)
+    rng, init_rng = _split(rng, 2)
     img, t_start = _start_state(sched, cfg, shape, init_rng, noise=noise, init_image=init_image)
     timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
-    step_keys = jax.random.split(rng, t_start)
+    step_keys = _split(rng, t_start)
 
     def body(carry, inp):
         if model_state0 is None:
@@ -310,7 +340,7 @@ def sample_chain_segment(
     B = x.shape[0]
     n = t_start - t_end
     timesteps = jnp.arange(t_start - 1, t_end - 1, -1, dtype=jnp.int32)
-    step_keys = jax.random.split(rng, n)
+    step_keys = _split(rng, n)
 
     def body(carry, inp):
         t_scalar, key = inp
@@ -350,7 +380,7 @@ def sample_chain_segment_dyn(
     B = x.shape[0]
     t0 = jnp.asarray(t_start, jnp.int32)
     timesteps = t0 - 1 - jnp.arange(seg_len, dtype=jnp.int32)
-    step_keys = jax.random.split(rng, seg_len)
+    step_keys = _split(rng, seg_len)
 
     def body(carry, inp):
         t_scalar, key = inp
@@ -398,7 +428,7 @@ def dpm_solver_pp_2m_loop(
     like the DDIM path (condition_score shifts eps before x0 is derived).
     Deterministic given the init noise; `rng` only seeds x_T.
     """
-    rng, init_rng = jax.random.split(rng)
+    rng, init_rng = _split(rng, 2)
     img, t_start = _start_state(sched, cfg, shape, init_rng, noise=noise, init_image=init_image)
     timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
     nd = len(shape)

@@ -101,6 +101,48 @@ class TestLoops:
         assert out.shape == SHAPE
 
 
+class TestPerSampleKeys:
+    """Batched [B] key vectors: sample i's bytes depend only on keys[i]
+    (the property serve.py's request coalescing relies on)."""
+
+    def _keys(self, seeds):
+        return jax.vmap(lambda s: jax.random.key(s))(jnp.asarray(seeds, jnp.uint32))
+
+    def test_p_sample_row_independence(self):
+        sched = named_schedule("linear", T)
+        f = jax.jit(lambda keys: p_sample_loop(sched, jax_model(), SHAPE, keys))
+        a = np.asarray(f(self._keys([7, 3])))
+        b = np.asarray(f(self._keys([7, 9])))
+        # row 0 shares its key -> bitwise identical regardless of row 1
+        np.testing.assert_array_equal(a[0], b[0])
+        assert not np.allclose(a[1], b[1])
+
+    def test_batched_matches_solo(self):
+        # a sample co-batched with anything equals the same key run "alone"
+        # (other rows keyed differently): the coalescing invariant
+        sched = named_schedule("linear", T)
+        f = jax.jit(lambda keys: p_sample_loop(sched, jax_model(), SHAPE, keys))
+        batched = np.asarray(f(self._keys([5, 11])))
+        other = np.asarray(f(self._keys([5, 23])))
+        np.testing.assert_array_equal(batched[0], other[0])
+
+    def test_ddim_batched_keys_shape_finite(self):
+        sched = named_schedule("linear", T)
+        out = ddim_sample_loop(sched, jax_model(), SHAPE, self._keys([1, 2]))
+        assert out.shape == SHAPE
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_progressive_and_start_point_accept_batched_keys(self):
+        sched = named_schedule("linear", T)
+        cfg = SamplerConfig(denoise_start_point=5)
+        final, (samples, _) = p_sample_loop_progressive(
+            sched, jax_model(), SHAPE, self._keys([4, 8]), cfg=cfg,
+            init_image=jnp.zeros(SHAPE) + 0.5,
+        )
+        assert samples.shape == (5,) + SHAPE
+        assert np.isfinite(np.asarray(final)).all()
+
+
 @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
 class TestStepParityVsReference:
     """Single-step parity: inject the same noise into both implementations."""

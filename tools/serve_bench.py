@@ -7,6 +7,11 @@ loop. Prints one JSON line.
 
 Env: SB_BATCH (8), SB_IMAGE_SIZE (256), SB_RESPACING (ddim25),
 SB_CONV_IMPL (int8), SB_REQUESTS (6), SB_NUM_SAMPLES (= batch).
+
+Concurrency/coalescing mode: SB_COALESCE_MS > 0 starts the server with
+--coalesce_ms and additionally measures SB_CONCURRENCY (default 4) parallel
+clients each requesting SB_NUM_SAMPLES samples — with coalescing they pack
+into ceil(concurrency*n/B) dispatches instead of queuing serially.
 """
 
 import json
@@ -67,6 +72,8 @@ def main() -> None:
     n_req = int(os.environ.get("SB_REQUESTS", 6))
     n_samp = int(os.environ.get("SB_NUM_SAMPLES", B))
     ch = int(os.environ.get("SB_CH", 256 if size == 256 else 192))
+    coalesce_ms = float(os.environ.get("SB_COALESCE_MS", 0))
+    concurrency = int(os.environ.get("SB_CONCURRENCY", 4))
 
     ckpt = f"/tmp/serve_bench_ckpt_{size}_{ch}.flax"  # config-keyed: a stale
     # smoke-config file must never be served to a different model shape
@@ -89,6 +96,7 @@ def main() -> None:
             "--timestep_respacing", respacing,
             "--conv_impl", conv_impl,
             "--batch_size", str(B),
+            "--coalesce_ms", str(coalesce_ms),
             "--port", str(port),
         ],
         cwd=REPO,
@@ -139,6 +147,40 @@ def main() -> None:
         for i in range(n_req):
             request(100 + i)
         sustained_s = (time.time() - t) / n_req
+
+        extra = {}
+        if coalesce_ms > 0:
+            import concurrent.futures
+
+            # N parallel clients, repeated n_req rounds: with coalescing the
+            # server packs each round's requests into as few dispatches as
+            # the compiled batch allows
+            def healthz():
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5
+                ) as r:
+                    return json.loads(r.read())
+
+            d0 = healthz()["dispatches"]
+            t = time.time()
+            with concurrent.futures.ThreadPoolExecutor(concurrency) as pool:
+                for rnd in range(n_req):
+                    list(pool.map(
+                        request, [1000 + rnd * concurrency + i for i in range(concurrency)]
+                    ))
+            conc_s = (time.time() - t) / n_req
+            h = healthz()
+            extra = {
+                "coalesce_ms": coalesce_ms,
+                "concurrency": concurrency,
+                "concurrent_round_s": round(conc_s, 2),
+                "concurrent_samples_per_min": round(
+                    concurrency * n_samp * 60.0 / conc_s, 2
+                ),
+                "dispatches_for_concurrent_rounds": h["dispatches"] - d0,
+                "coalesced_requests": h["coalesced_requests"],
+            }
+
         print(json.dumps({
             "config": f"serve.py {size}px {respacing} {conv_impl}, batch {B}, "
                       f"{n_samp} samples/request, npz response",
@@ -149,7 +191,13 @@ def main() -> None:
             "sustained_sec_per_request": round(sustained_s, 2),
             "requests_per_min": round(60.0 / sustained_s, 2),
             "samples_per_min": round(n_samp * 60.0 / sustained_s, 2),
-            "known_limit": "single in-flight request (device lock); no queuing/coalescing",
+            **extra,
+            "known_limit": (
+                "requests coalesce into shared dispatches (--coalesce_ms)"
+                if coalesce_ms > 0 else
+                "single in-flight request (device lock); enable --coalesce_ms "
+                "to pack concurrent requests into one dispatch"
+            ),
         }))
     finally:
         proc.terminate()
