@@ -50,10 +50,56 @@ def potential_cond_fn(potential: Callable, scale: float = 1.0) -> Callable:
     return cond_fn
 
 
+def parse_guidance_interval(spec: str) -> tuple[float, float] | None:
+    """Parse the --guidance_interval flag: "lo,hi" in original-model-timestep
+    units (0..T_orig-1, i.e. the values the model itself sees), or "" for
+    always-on guidance. Returns (lo, hi) or None."""
+    spec = (spec or "").strip()
+    if not spec:
+        return None
+    parts = spec.split(",")
+    if len(parts) != 2:
+        raise ValueError(f"--guidance_interval wants 'lo,hi', got {spec!r}")
+    lo, hi = float(parts[0]), float(parts[1])
+    if lo > hi:
+        raise ValueError(f"--guidance_interval lo > hi: {spec!r}")
+    return lo, hi
+
+
+def interval_cond_fn(cond_fn: Callable, t_lo: float, t_hi: float) -> Callable:
+    """Apply guidance only while t_lo <= t <= t_hi (original timestep units).
+
+    Kynkaenniemi et al. 2024 ("Applying Guidance in a Limited Interval"):
+    guidance helps most at mid noise levels; restricting it both improves
+    sample quality and skips the guidance network entirely outside the
+    window. The skip is a real `lax.cond` branch inside the scanned denoise
+    step — outside the interval the classifier/CLIP forward+VJP never run,
+    so the guided chain costs the same as an unguided one there.
+
+    `t` arrives as the [B] model-timestep vector the sampling scan builds
+    from one scalar counter (sampling.py `jnp.full`), so the per-chain
+    predicate reads element 0. Zero gradient == no-op for both guidance
+    composition rules (condition_mean adds variance*grad; condition_score
+    shifts eps by sqrt(1-ab)*grad).
+    """
+
+    def fn(x, t, **kwargs):
+        tt = jnp.asarray(t).reshape(-1)[0].astype(jnp.float32)
+        inside = jnp.logical_and(tt >= t_lo, tt <= t_hi)
+        return jax.lax.cond(
+            inside,
+            lambda: cond_fn(x, t, **kwargs),
+            lambda: jnp.zeros_like(x),
+        )
+
+    return fn
+
+
 def cfg_model_fn(
     model_fn: Callable,
     cfg_scale: float,
     null_kwargs: dict,
+    interval: tuple[float, float] | None = None,
 ) -> Callable:
     """Classifier-free guidance (Ho & Salimans 2022) — beyond the reference.
 
@@ -71,11 +117,29 @@ def cfg_model_fn(
     duplicated verbatim into both branches. The model must have been trained
     with matching conditioning dropout (TrainLoop ``cond_dropout``) for the
     null branch to mean "unconditional".
+
+    `interval=(lo, hi)` restricts CFG to that model-timestep window (see
+    interval_cond_fn): outside it only the plain conditional branch runs —
+    HALF the model FLOPs of the doubled batch, a real `lax.cond` skip.
     """
 
-    def fn(x, t, **kwargs):
+    def cfg_eval(x, t, kwargs):
         x2, t2, kw2 = cfg_double(x, t, kwargs, null_kwargs)
         return cfg_combine(model_fn(x2, t2, **kw2), cfg_scale, x.shape[-1])
+
+    if interval is None:
+        return lambda x, t, **kwargs: cfg_eval(x, t, kwargs)
+
+    t_lo, t_hi = interval
+
+    def fn(x, t, **kwargs):
+        tt = jnp.asarray(t).reshape(-1)[0].astype(jnp.float32)
+        inside = jnp.logical_and(tt >= t_lo, tt <= t_hi)
+        return jax.lax.cond(
+            inside,
+            lambda: cfg_eval(x, t, kwargs),
+            lambda: model_fn(x, t, **kwargs),
+        )
 
     return fn
 

@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from guided_diffusion_clip_tpu.diffusion.guidance import classifier_cond_fn, model_fn_dropping_y
+from guided_diffusion_clip_tpu.diffusion.guidance import (
+    classifier_cond_fn,
+    interval_cond_fn,
+    model_fn_dropping_y,
+    parse_guidance_interval,
+)
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.sample_util import overlap_device_host
@@ -88,6 +93,7 @@ def main():
     # dpm++2m accepts cond_fn, so classifier guidance composes with it
     loop = resolve_sampler(diffusion, args)
 
+    g_interval = parse_guidance_interval(getattr(args, "guidance_interval", ""))
     deep_cache_n = int(getattr(args, "deep_cache", 0))
     deep_cut = int(getattr(args, "deep_cache_cut", 0))
 
@@ -103,6 +109,10 @@ def main():
             return classifier.apply({"params": cparams}, x, t)
 
         cond_fn = classifier_cond_fn(classifier_fn, args.classifier_scale)
+        if g_interval is not None:
+            # restrict guidance to t in [lo, hi] (original timestep units):
+            # the classifier fwd+VJP are lax.cond-skipped outside the window
+            cond_fn = interval_cond_fn(cond_fn, *g_interval)
         if deep_cache_n > 1:
             # DeepCache deep-feature reuse on the GENERATOR only — the
             # classifier gradient (the guidance itself) stays fresh every
@@ -202,7 +212,7 @@ def create_argparser():
         tensor_shard=0,  # >1: shard activation channels over a 'model' mesh axis (TP)
         deep_cache=0,  # N>1: refresh the deep sub-UNet every N steps (DeepCache)
         deep_cache_cut=0,  # shallow input blocks; 0 = below the full-res level
-
+        guidance_interval="",  # "lo,hi": guide only for t in [lo,hi] (orig units)
     )
     defaults.update(model_and_diffusion_defaults())
     defaults.update(classifier_defaults())

@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
+from guided_diffusion_clip_tpu.diffusion.guidance import (
+    cfg_model_fn,
+    interval_cond_fn,
+    parse_guidance_interval,
+)
 from guided_diffusion_clip_tpu.models.clip_vit import (
     CLIPConfig,
     CLIPVisionEncoder,
@@ -150,6 +154,7 @@ def main():
         raise SystemExit("provide --text, --target_image or --target_embed")
 
     scales = [float(s) for s in str(args.clip_scale).split(",")]
+    g_interval = parse_guidance_interval(getattr(args, "guidance_interval", ""))
     # fold the process index in: with identical seeds every rank would
     # generate the SAME noise/classes and the all-gathered set would be
     # world_size copies of one batch
@@ -182,7 +187,9 @@ def main():
                         "(--class_cond True); an unconditional model has no "
                         "conditioning to guide on"
                     )
-                _cfg = cfg_model_fn(base_fn, args.cfg_scale, {"clip_feat": 0.0})
+                _cfg = cfg_model_fn(
+                    base_fn, args.cfg_scale, {"clip_feat": 0.0}, interval=g_interval
+                )
 
                 def loop_model_fn(x, t, **kw):
                     return _cfg(x, t, **inject_target(x, kw))
@@ -197,6 +204,10 @@ def main():
                 var_type=diffusion.var_type, model_fn=model_fn,
                 use_pred_xstart=args.grad_through_pred_xstart,
             )
+            if g_interval is not None:
+                # skip the CLIP fwd+VJP (and, in pred-x0 mode, the extra
+                # UNet fwd it differentiates through) outside [lo, hi]
+                cond_fn = interval_cond_fn(cond_fn, *g_interval)
             loop = resolve_sampler(diffusion, args)
             return loop(
                 loop_model_fn, shape, key,
@@ -237,7 +248,7 @@ def create_argparser():
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
         tensor_shard=0,  # >1: shard activation channels over a 'model' mesh axis (TP)
         cfg_scale=0.0,  # >0: classifier-free guidance (model trained w/ cond_dropout)
-
+        guidance_interval="",  # "lo,hi": guide only for t in [lo,hi] (orig units)
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -26,7 +26,7 @@ from guided_diffusion_clip_tpu.diffusion.deep_cache import (
     deep_cache_model_fn,
     zero_state,
 )
-from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn
+from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn, parse_guidance_interval
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
@@ -115,6 +115,13 @@ def main():
     cfg_scale = float(getattr(args, "cfg_scale", 0.0))
     deep_cache_n = int(getattr(args, "deep_cache", 0))
     deep_cut = int(getattr(args, "deep_cache_cut", 0))
+    g_interval = parse_guidance_interval(getattr(args, "guidance_interval", ""))
+    if g_interval is not None and not cfg_scale:
+        raise SystemExit("--guidance_interval here gates CFG; it needs --cfg_scale")
+    if g_interval is not None and deep_cache_n > 1:
+        # the CFG branch's cache holds 2B rows, the plain branch's B — the
+        # lax.cond carries can't switch shapes mid-chain
+        raise SystemExit("--guidance_interval does not compose with --deep_cache + CFG")
 
     def build_null(model_kwargs):
         # classifier-free guidance (beyond reference): needs a model trained
@@ -179,7 +186,9 @@ def main():
             )
 
         if cfg_scale:
-            model_fn = cfg_model_fn(model_fn, cfg_scale, build_null(model_kwargs))
+            model_fn = cfg_model_fn(
+                model_fn, cfg_scale, build_null(model_kwargs), interval=g_interval
+            )
 
         return loop(
             model_fn, shape, key,
@@ -259,6 +268,7 @@ def create_argparser():
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
         cfg_scale=0.0,  # >0: classifier-free guidance (model trained w/ cond_dropout)
         cfg_null_y=-1,  # null class index for CFG on y-labelled models
+        guidance_interval="",  # "lo,hi": CFG only for t in [lo,hi] (orig units)
         deep_cache=0,  # N>1: refresh the deep sub-UNet every N steps (DeepCache)
         deep_cache_cut=0,  # shallow input blocks; 0 = below the full-res level
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)

@@ -354,11 +354,14 @@ class TestSampleVariants:
         arr = np.load(npz[0])["arr_0"]
         assert arr.shape[0] == 2 and np.isfinite(arr).all()
 
-    @pytest.mark.parametrize("deep_cache", ["0", "2"])
-    def test_classifier_sample(self, tmp_path, deep_cache):
+    @pytest.mark.parametrize(
+        "deep_cache,guidance_interval", [("0", ""), ("2", ""), ("0", "5,30")]
+    )
+    def test_classifier_sample(self, tmp_path, deep_cache, guidance_interval):
         """Classifier-guided sampling (grad-in-the-scan) on a tiny 64px pair;
         deep_cache=2 additionally drives the cached-generator branch (the
-        classifier gradient stays fresh every step)."""
+        classifier gradient stays fresh every step); guidance_interval drives
+        the lax.cond guidance gate through the CLI."""
         import jax
         import jax.numpy as jnp
 
@@ -421,6 +424,7 @@ class TestSampleVariants:
                 "--classifier_path", cckpt,
                 "--classifier_scale", "1.0",
                 "--deep_cache", deep_cache,
+                "--guidance_interval", guidance_interval,
                 "--batch_size", "2",
                 "--num_samples", "2",
             ],
