@@ -70,6 +70,7 @@ class Diffusion:
         self, model_fn, shape, rng, *, noise=None, init_image=None,
         clip_denoised=True, denoised_fn=None, cond_fn=None, model_kwargs=None,
         denoise_start_point=-1, progressive=False, model_state0=None,
+        cond_state0=None,
     ):
         cfg = self._cfg(clip_denoised, denoise_start_point=denoise_start_point)
         if progressive:
@@ -77,17 +78,20 @@ class Diffusion:
                 self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
                 init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
                 model_kwargs=model_kwargs, model_state0=model_state0,
+                cond_state0=cond_state0,
             )
         return S.p_sample_loop(
             self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
             init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs, model_state0=model_state0,
+            cond_state0=cond_state0,
         )
 
     def ddim_sample_loop(
         self, model_fn, shape, rng, *, noise=None, init_image=None,
         clip_denoised=True, denoised_fn=None, cond_fn=None, model_kwargs=None,
         eta=0.0, denoise_start_point=-1, progressive=False, model_state0=None,
+        cond_state0=None,
     ):
         cfg = self._cfg(clip_denoised, eta=eta, denoise_start_point=denoise_start_point)
         if progressive:
@@ -95,17 +99,19 @@ class Diffusion:
                 self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
                 init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
                 model_kwargs=model_kwargs, model_state0=model_state0,
+                cond_state0=cond_state0,
             )
         return S.ddim_sample_loop(
             self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
             init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs, model_state0=model_state0,
+            cond_state0=cond_state0,
         )
 
     def dpm_solver_pp_2m_loop(
         self, model_fn, shape, rng, *, noise=None, init_image=None,
         clip_denoised=True, denoised_fn=None, cond_fn=None, model_kwargs=None,
-        denoise_start_point=-1, model_state0=None,
+        denoise_start_point=-1, model_state0=None, cond_state0=None,
     ):
         """Second-order multistep ODE sampler (DPM-Solver++ 2M) — better
         quality than DDIM at 10-25 steps; beyond-reference capability."""
@@ -114,6 +120,7 @@ class Diffusion:
             self.sched, model_fn, shape, rng, cfg=cfg, noise=noise,
             init_image=init_image, cond_fn=cond_fn, denoised_fn=denoised_fn,
             model_kwargs=model_kwargs, model_state0=model_state0,
+            cond_state0=cond_state0,
         )
 
     def ddim_reverse_loop(self, model_fn, x0, *, clip_denoised=True, model_kwargs=None):

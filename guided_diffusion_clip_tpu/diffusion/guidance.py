@@ -95,6 +95,40 @@ def interval_cond_fn(cond_fn: Callable, t_lo: float, t_hi: float) -> Callable:
     return fn
 
 
+def cached_cond_fn(cond_fn: Callable, every: int, shape, dtype=jnp.float32):
+    """Guidance-gradient caching: recompute cond_fn every `every` steps,
+    reuse the previous gradient in between. Returns (stateful_fn, state0)
+    for the sampling loops' `cond_state0` slot — the gradient rides the scan
+    carry and the guidance network (classifier fwd+VJP, or the CLIP encoder
+    and, in pred-x0 mode, the extra UNet forward it differentiates through)
+    is `lax.cond`-skipped on reuse steps.
+
+    The same deep-feature-reuse logic as DeepCache (--deep_cache), applied
+    to the guidance term: the gradient field varies smoothly along the
+    chain, so a 1-in-N refresh tracks it closely (fidelity measured like
+    DeepCache's in tools/int8_chain_quality.py, variant gcN). Composes with
+    interval_cond_fn (wrap the interval first: reuse steps outside the
+    window recycle the cached zeros; refresh steps there skip the network
+    via the inner cond).
+
+    `shape` is the per-call x shape (the gradient's shape); the step counter
+    starts at 0, so the FIRST step always recomputes.
+    """
+    assert every >= 1
+
+    def fn(x, t, state, **kwargs):
+        i, g_prev = state
+        grad = jax.lax.cond(
+            i % every == 0,
+            lambda: cond_fn(x, t, **kwargs).astype(dtype),
+            lambda: g_prev,
+        )
+        return grad, (i + 1, grad)
+
+    state0 = (jnp.zeros((), jnp.int32), jnp.zeros(shape, dtype))
+    return fn, state0
+
+
 def cfg_model_fn(
     model_fn: Callable,
     cfg_scale: float,

@@ -199,43 +199,69 @@ def _scan_loop(
     model_kwargs,
     progressive: bool,
     model_state0=None,
+    cond_state0=None,
 ):
     """model_state0 opts into a STATEFUL model: `model_fn(x, t, state, **kw)
     -> (out, new_state)`, with the state threaded through the scan carry
-    (used by deep-feature caching, diffusion/deep_cache.py). The step must
-    call the model exactly once — true of every step_fn here."""
+    (used by deep-feature caching, diffusion/deep_cache.py). cond_state0
+    does the same for guidance: `cond_fn(x, t, state, **kw) -> (gradient,
+    new_state)` (used by guidance-gradient caching, guidance.cached_cond_fn).
+    The step must call each stateful fn exactly once — true of every step_fn
+    here when cond_fn is set."""
     rng, init_rng = _split(rng, 2)
     img, t_start = _start_state(sched, cfg, shape, init_rng, noise=noise, init_image=init_image)
     timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
     step_keys = _split(rng, t_start)
+    has_m = model_state0 is not None
+    has_c = cond_state0 is not None
 
     def body(carry, inp):
-        if model_state0 is None:
-            x, mstate, mf = carry, None, model_fn
+        x = carry[0] if (has_m or has_c) else carry
+        mstate = carry[1] if has_m else None
+        cstate = carry[1 + has_m] if has_c else None
+        if not has_m:
+            mf = model_fn
         else:
-            x, mstate = carry
-            captured = []
+            m_captured = []
 
             def mf(xx, tt, **kw):
                 out, st = model_fn(xx, tt, mstate, **kw)
-                captured.append(st)
+                m_captured.append(st)
                 return out
+
+        if not has_c:
+            cf = cond_fn
+        else:
+            c_captured = []
+
+            def cf(xx, tt, **kw):
+                grad, st = cond_fn(xx, tt, cstate, **kw)
+                c_captured.append(st)
+                return grad
 
         t_scalar, key = inp
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
         sample, pred_xstart = step_fn(
             sched, mf, x, t, key,
-            cfg=cfg, cond_fn=cond_fn, denoised_fn=denoised_fn, model_kwargs=model_kwargs,
+            cfg=cfg, cond_fn=cf, denoised_fn=denoised_fn, model_kwargs=model_kwargs,
         )
         out = (sample, pred_xstart) if progressive else None
-        if model_state0 is None:
-            return sample, out
-        assert len(captured) == 1, "stateful model_fn requires one call per step"
-        return (sample, captured[0]), out
+        new_carry = sample
+        if has_m or has_c:
+            new_carry = (sample,)
+            if has_m:
+                assert len(m_captured) == 1, "stateful model_fn requires one call per step"
+                new_carry += (m_captured[0],)
+            if has_c:
+                assert len(c_captured) == 1, "stateful cond_fn requires one call per step"
+                new_carry += (c_captured[0],)
+        return new_carry, out
 
-    init = img if model_state0 is None else (img, model_state0)
+    init = img
+    if has_m or has_c:
+        init = (img,) + ((model_state0,) if has_m else ()) + ((cond_state0,) if has_c else ())
     final, ys = jax.lax.scan(body, init, (timesteps, step_keys))
-    if model_state0 is not None:
+    if has_m or has_c:
         final = final[0]
     if progressive:
         return final, ys  # ys = (samples [T,B,H,W,C], pred_xstarts [T,...])
@@ -255,13 +281,14 @@ def p_sample_loop(
     denoised_fn: Callable | None = None,
     model_kwargs: dict | None = None,
     model_state0=None,
+    cond_state0=None,
 ):
     """Full ancestral sampling chain as one scan (reference :441-544)."""
     return _scan_loop(
         p_sample_step, sched, model_fn, shape, rng,
         cfg=cfg, noise=noise, init_image=init_image, cond_fn=cond_fn,
         denoised_fn=denoised_fn, model_kwargs=model_kwargs, progressive=False,
-        model_state0=model_state0,
+        model_state0=model_state0, cond_state0=cond_state0,
     )
 
 
@@ -275,7 +302,7 @@ def p_sample_loop_progressive(sched, model_fn, shape, rng, **kw):
         p_sample_step, sched, model_fn, shape, rng, progressive=True,
         **{k: kw.get(k) for k in (
             "noise", "init_image", "cond_fn", "denoised_fn", "model_kwargs",
-            "model_state0",
+            "model_state0", "cond_state0",
         )},
         cfg=kw.get("cfg", SamplerConfig()),
     )
@@ -294,13 +321,14 @@ def ddim_sample_loop(
     denoised_fn: Callable | None = None,
     model_kwargs: dict | None = None,
     model_state0=None,
+    cond_state0=None,
 ):
     """Full DDIM chain as one scan (reference :634-716)."""
     return _scan_loop(
         ddim_step, sched, model_fn, shape, rng,
         cfg=cfg, noise=noise, init_image=init_image, cond_fn=cond_fn,
         denoised_fn=denoised_fn, model_kwargs=model_kwargs, progressive=False,
-        model_state0=model_state0,
+        model_state0=model_state0, cond_state0=cond_state0,
     )
 
 
@@ -309,7 +337,7 @@ def ddim_sample_loop_progressive(sched, model_fn, shape, rng, **kw):
         ddim_step, sched, model_fn, shape, rng, progressive=True,
         **{k: kw.get(k) for k in (
             "noise", "init_image", "cond_fn", "denoised_fn", "model_kwargs",
-            "model_state0",
+            "model_state0", "cond_state0",
         )},
         cfg=kw.get("cfg", SamplerConfig()),
     )
@@ -408,6 +436,7 @@ def dpm_solver_pp_2m_loop(
     denoised_fn: Callable | None = None,
     model_kwargs: dict | None = None,
     model_state0=None,
+    cond_state0=None,
 ):
     """DPM-Solver++(2M) sampling chain as one scan.
 
@@ -433,7 +462,7 @@ def dpm_solver_pp_2m_loop(
     timesteps = jnp.arange(t_start - 1, -1, -1, dtype=jnp.int32)
     nd = len(shape)
 
-    def x0_of(x, t, mstate):
+    def x0_of(x, t, mstate, cstate):
         if mstate is None:
             mf, captured = model_fn, None
         else:
@@ -444,6 +473,16 @@ def dpm_solver_pp_2m_loop(
                 captured.append(st)
                 return out
 
+        if cstate is None:
+            cf = cond_fn
+        else:
+            c_captured = []
+
+            def cf(xx, tt, **kw):
+                grad, st = cond_fn(xx, tt, cstate, **kw)
+                c_captured.append(st)
+                return grad
+
         out = G.p_mean_variance(
             sched, mf, x, t,
             mean_type=cfg.mean_type, var_type=cfg.var_type,
@@ -451,19 +490,22 @@ def dpm_solver_pp_2m_loop(
             model_kwargs=model_kwargs,
         )
         if cond_fn is not None:
-            out = G.condition_score(sched, cond_fn, out, x, t, model_kwargs=model_kwargs)
+            out = G.condition_score(sched, cf, out, x, t, model_kwargs=model_kwargs)
+        if cstate is not None:
+            assert len(c_captured) == 1, "stateful cond_fn requires one call per step"
+            cstate = c_captured[0]
         if mstate is None:
-            return out.pred_xstart, None
+            return out.pred_xstart, None, cstate
         assert len(captured) == 1, "stateful model_fn requires one call per step"
-        return out.pred_xstart, captured[0]
+        return out.pred_xstart, captured[0], cstate
 
     def lam(ab):
         return 0.5 * (jnp.log(ab) - jnp.log1p(-ab))
 
     def body(carry, t_scalar):
-        (x, x0_prev, h_prev, has_prev), mstate = carry
+        (x, x0_prev, h_prev, has_prev), mstate, cstate = carry
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
-        x0, mstate = x0_of(x, t, mstate)
+        x0, mstate, cstate = x0_of(x, t, mstate, cstate)
 
         ab_t = G._extract(sched.alphas_cumprod, t, nd)
         ab_prev = G._extract(sched.alphas_cumprod_prev, t, nd)
@@ -485,7 +527,7 @@ def dpm_solver_pp_2m_loop(
         # where (not an arithmetic blend): any non-finite in the unselected
         # branch must not propagate into the final step's x0
         x_next = jnp.where(t_scalar == 0, x0, x_next)
-        return ((x_next, x0, h, jnp.float32(1.0)), mstate), None
+        return ((x_next, x0, h, jnp.float32(1.0)), mstate, cstate), None
 
     init = (
         (
@@ -495,8 +537,9 @@ def dpm_solver_pp_2m_loop(
             jnp.float32(0.0),
         ),
         model_state0,
+        cond_state0,
     )
-    ((final, _, _, _), _), _ = jax.lax.scan(body, init, timesteps)
+    ((final, _, _, _), _, _), _ = jax.lax.scan(body, init, timesteps)
     return final
 
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from guided_diffusion_clip_tpu.diffusion.guidance import (
+    cached_cond_fn,
     classifier_cond_fn,
     interval_cond_fn,
     model_fn_dropping_y,
@@ -94,6 +95,7 @@ def main():
     loop = resolve_sampler(diffusion, args)
 
     g_interval = parse_guidance_interval(getattr(args, "guidance_interval", ""))
+    guidance_cache_n = int(getattr(args, "guidance_cache", 0))
     deep_cache_n = int(getattr(args, "deep_cache", 0))
     deep_cut = int(getattr(args, "deep_cache_cut", 0))
 
@@ -113,6 +115,11 @@ def main():
             # restrict guidance to t in [lo, hi] (original timestep units):
             # the classifier fwd+VJP are lax.cond-skipped outside the window
             cond_fn = interval_cond_fn(cond_fn, *g_interval)
+        cond_state0 = None
+        if guidance_cache_n > 1:
+            # recompute the classifier gradient 1-in-N steps, reuse between
+            # (the guidance analog of --deep_cache; gradient rides the carry)
+            cond_fn, cond_state0 = cached_cond_fn(cond_fn, guidance_cache_n, shape)
         if deep_cache_n > 1:
             # DeepCache deep-feature reuse on the GENERATOR only — the
             # classifier gradient (the guidance itself) stays fresh every
@@ -146,6 +153,7 @@ def main():
                 model_kwargs={"y": classes},
                 cond_fn=cond_fn,
                 model_state0=state0,
+                cond_state0=cond_state0,
             )
         model_fn = model_fn_dropping_y(unet_fn, args.class_cond)
         return loop(
@@ -153,6 +161,7 @@ def main():
             clip_denoised=args.clip_denoised,
             model_kwargs={"y": classes},
             cond_fn=cond_fn,
+            cond_state0=cond_state0,
         )
 
     logger.log("sampling...")
@@ -213,6 +222,7 @@ def create_argparser():
         deep_cache=0,  # N>1: refresh the deep sub-UNet every N steps (DeepCache)
         deep_cache_cut=0,  # shallow input blocks; 0 = below the full-res level
         guidance_interval="",  # "lo,hi": guide only for t in [lo,hi] (orig units)
+        guidance_cache=0,  # N>1: recompute the guidance gradient 1-in-N steps
     )
     defaults.update(model_and_diffusion_defaults())
     defaults.update(classifier_defaults())

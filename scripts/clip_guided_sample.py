@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from guided_diffusion_clip_tpu.diffusion.guidance import (
+    cached_cond_fn,
     cfg_model_fn,
     interval_cond_fn,
     parse_guidance_interval,
@@ -155,6 +156,7 @@ def main():
 
     scales = [float(s) for s in str(args.clip_scale).split(",")]
     g_interval = parse_guidance_interval(getattr(args, "guidance_interval", ""))
+    guidance_cache_n = int(getattr(args, "guidance_cache", 0))
     # fold the process index in: with identical seeds every rank would
     # generate the SAME noise/classes and the all-gathered set would be
     # world_size copies of one batch
@@ -208,10 +210,17 @@ def main():
                 # skip the CLIP fwd+VJP (and, in pred-x0 mode, the extra
                 # UNet fwd it differentiates through) outside [lo, hi]
                 cond_fn = interval_cond_fn(cond_fn, *g_interval)
+            cond_state0 = None
+            if guidance_cache_n > 1:
+                # CLIP guidance is the expensive term (in pred-x0 mode the
+                # cond_fn differentiates through a full UNet forward):
+                # recompute it 1-in-N steps, carry the gradient in between
+                cond_fn, cond_state0 = cached_cond_fn(cond_fn, guidance_cache_n, shape)
             loop = resolve_sampler(diffusion, args)
             return loop(
                 loop_model_fn, shape, key,
                 clip_denoised=args.clip_denoised, cond_fn=cond_fn,
+                cond_state0=cond_state0,
             )
 
         rng, sample_rng = jax.random.split(rng)
@@ -249,6 +258,7 @@ def create_argparser():
         tensor_shard=0,  # >1: shard activation channels over a 'model' mesh axis (TP)
         cfg_scale=0.0,  # >0: classifier-free guidance (model trained w/ cond_dropout)
         guidance_interval="",  # "lo,hi": guide only for t in [lo,hi] (orig units)
+        guidance_cache=0,  # N>1: recompute the guidance gradient 1-in-N steps
     )
     defaults.update(model_and_diffusion_defaults())
     parser = argparse.ArgumentParser()

@@ -355,13 +355,15 @@ class TestSampleVariants:
         assert arr.shape[0] == 2 and np.isfinite(arr).all()
 
     @pytest.mark.parametrize(
-        "deep_cache,guidance_interval", [("0", ""), ("2", ""), ("0", "5,30")]
+        "deep_cache,guidance_interval,guidance_cache",
+        [("0", "", "0"), ("2", "", "0"), ("0", "5,30", "0"), ("2", "", "2")],
     )
-    def test_classifier_sample(self, tmp_path, deep_cache, guidance_interval):
+    def test_classifier_sample(self, tmp_path, deep_cache, guidance_interval, guidance_cache):
         """Classifier-guided sampling (grad-in-the-scan) on a tiny 64px pair;
-        deep_cache=2 additionally drives the cached-generator branch (the
-        classifier gradient stays fresh every step); guidance_interval drives
-        the lax.cond guidance gate through the CLI."""
+        deep_cache=2 additionally drives the cached-generator branch;
+        guidance_interval drives the lax.cond guidance gate through the CLI;
+        the last case composes generator DeepCache with guidance-gradient
+        caching (both states in one scan carry)."""
         import jax
         import jax.numpy as jnp
 
@@ -425,6 +427,7 @@ class TestSampleVariants:
                 "--classifier_scale", "1.0",
                 "--deep_cache", deep_cache,
                 "--guidance_interval", guidance_interval,
+                "--guidance_cache", guidance_cache,
                 "--batch_size", "2",
                 "--num_samples", "2",
             ],

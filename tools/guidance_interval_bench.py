@@ -16,7 +16,9 @@ Usage: python tools/guidance_interval_bench.py
 Env: GIB_BATCH (16), GIB_IMAGE_SIZE (256), GIB_STEPS (respacing, 250),
 GIB_WINDOWS ("0,700;200,800"), GIB_CONV_IMPL (int8 | xla -> bf16 path),
 GIB_DEEP_CACHE (0; N>1 composes DeepCache on the generator with the gated
-classifier gradient — the classifier_sample.py stack).
+classifier gradient — the classifier_sample.py stack), GIB_GUIDANCE_CACHE
+(0; N>1 recomputes the classifier gradient 1-in-N steps via cached_cond_fn,
+applied INSIDE any interval gate).
 """
 
 import os
@@ -34,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from guided_diffusion_clip_tpu.diffusion.guidance import (
+    cached_cond_fn,
     classifier_cond_fn,
     interval_cond_fn,
     model_fn_dropping_y,
@@ -102,6 +105,7 @@ def main():
     key = jax.random.key(7)
 
     deep_cache_n = int(os.environ.get("GIB_DEEP_CACHE", 0))
+    guidance_cache_n = int(os.environ.get("GIB_GUIDANCE_CACHE", 0))
 
     def make_chain(window):
         def chain(params, cparams, key):
@@ -111,6 +115,9 @@ def main():
             cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
             if window is not None:
                 cond_fn = interval_cond_fn(cond_fn, *window)
+            cond_state0 = None
+            if guidance_cache_n > 1:
+                cond_fn, cond_state0 = cached_cond_fn(cond_fn, guidance_cache_n, shape)
             if deep_cache_n > 1:
                 from guided_diffusion_clip_tpu.diffusion.deep_cache import (
                     deep_cache_model_fn,
@@ -137,7 +144,7 @@ def main():
                 return diffusion.p_sample_loop(
                     sfn, shape, key, clip_denoised=True,
                     model_kwargs={"y": classes}, cond_fn=cond_fn,
-                    model_state0=state0,
+                    model_state0=state0, cond_state0=cond_state0,
                 )
 
             def unet_fn(xx, t, **kw):
@@ -147,6 +154,7 @@ def main():
             return diffusion.p_sample_loop(
                 model_fn_dropping_y(unet_fn, class_cond=True), shape, key,
                 clip_denoised=True, model_kwargs={"y": classes}, cond_fn=cond_fn,
+                cond_state0=cond_state0,
             )
 
         return jax.jit(chain)

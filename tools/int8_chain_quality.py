@@ -27,9 +27,12 @@ respacing; "250"/"ddim25" etc. per diffusion/schedules.py),
 INT8Q_SAMPLER ("ancestral" | "ddim"), INT8Q_VARIANT ("int8" = quantized
 convs, the default; "dcN" e.g. "dc3" = DeepCache interval-N deep-feature
 reuse — fidelity on a TRAINED model, which tools/deep_cache_bench.py's
-random-init comparison cannot provide). On a 1-core CPU box use ~150 train
-steps / 32 samples (hours otherwise); on a TPU chip the defaults run in
-minutes.
+random-init comparison cannot provide; "gcN" = guidance-gradient caching:
+trains a small noised classifier on the blobs' dominant-color label too,
+then compares the FULLY-guided chain against the 1-in-N cached-guidance
+chain — real trained guidance, same-seed + set-Frechet metrics;
+INT8Q_GUIDE_SCALE, default 10). On a 1-core CPU box use ~150 train steps /
+32 samples (hours otherwise); on a TPU chip the defaults run in minutes.
 """
 
 import functools
@@ -52,7 +55,16 @@ from guided_diffusion_clip_tpu.diffusion.deep_cache import (
     deep_cache_model_fn,
     zero_state,
 )
-from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
+from guided_diffusion_clip_tpu.diffusion.guidance import (
+    cached_cond_fn,
+    classifier_cond_fn,
+    model_fn_dropping_y,
+)
+from guided_diffusion_clip_tpu.models.unet import (
+    EncoderUNetModel,
+    UNetConfig,
+    UNetModel,
+)
 from guided_diffusion_clip_tpu.ops.config import set_conv_impl
 from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
 from guided_diffusion_clip_tpu.utils import logger
@@ -86,6 +98,8 @@ def main():
     sampler = os.environ.get("INT8Q_SAMPLER", "ancestral")
     variant = os.environ.get("INT8Q_VARIANT", "int8")
     dc_interval = int(variant[2:]) if variant.startswith("dc") else 0
+    gc_interval = int(variant[2:]) if variant.startswith("gc") else 0
+    guide_scale = float(os.environ.get("INT8Q_GUIDE_SCALE", 10.0))
 
     logger.configure_dir(dir="/tmp/int8_chain_quality", format_strs=[])
     set_conv_impl("xla")  # training is bf16
@@ -155,17 +169,98 @@ def main():
 
     shape = (B, size, size, 3)
 
+    cond_fresh = None
+    if gc_interval:
+        # ---- guided variant: train a small noised classifier on the blobs'
+        # dominant-color label (argmax of per-image channel mean — balanced,
+        # learnable), then both sets sample with REAL trained guidance.
+        import optax
+
+        n_classes = 3
+        ccfg = UNetConfig(
+            image_size=size, in_channels=3,
+            model_channels=64 if size >= 64 else 32,
+            out_channels=n_classes, num_res_blocks=1,
+            attention_resolutions=(4,) if size >= 64 else (2,),
+            channel_mult=(1, 2, 3) if size >= 64 else (1, 2),
+            num_heads=2, use_scale_shift_norm=True,
+        )
+        clf = EncoderUNetModel(config=ccfg, pool="adaptive")
+        cparams = clf.init(
+            jax.random.key(2), jnp.zeros(shape), jnp.zeros((B,))
+        )["params"]
+        copt = optax.adamw(3e-4, weight_decay=0.05)
+        copt_state = copt.init(cparams)
+
+        def blob_labels(batch: np.ndarray) -> np.ndarray:
+            return batch.mean(axis=(1, 2)).argmax(axis=-1).astype(np.int32)
+
+        @jax.jit
+        def clf_step(cparams, copt_state, x, y, key):
+            tkey, nkey = jax.random.split(key)
+            t = jax.random.randint(tkey, (x.shape[0],), 0, T)
+            xt = diffusion.q_sample(x, t, jax.random.normal(nkey, x.shape))
+
+            def loss_fn(p):
+                logits = clf.apply({"params": p}, xt, t.astype(jnp.float32))
+                ll = jax.nn.log_softmax(logits, axis=-1)
+                return -jnp.take_along_axis(ll, y[:, None], axis=-1).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(cparams)
+            updates, copt_state = copt.update(grads, copt_state, cparams)
+            return optax.apply_updates(cparams, updates), copt_state, loss
+
+        ckey = jax.random.key(3)
+        for i in range(train_steps):
+            xb = make_blob_batch(rs, B, size)
+            yb = jnp.asarray(blob_labels(xb))
+            ckey, skey = jax.random.split(ckey)
+            cparams, copt_state, closs = clf_step(
+                cparams, copt_state, jnp.asarray(xb), yb, skey
+            )
+            if i % 50 == 0:
+                print(
+                    f"[int8q +{time.time()-t0:.0f}s] classifier step {i} "
+                    f"loss {float(closs):.3f}",
+                    file=sys.stderr, flush=True,
+                )
+
+        def clf_fn(x, t):
+            return clf.apply({"params": cparams}, x, t)
+
+        cond_fresh = classifier_cond_fn(clf_fn, guide_scale)
+        guide_y = jnp.arange(B, dtype=jnp.int32) % n_classes
+
     loop = (
         sample_diffusion.ddim_sample_loop
         if sampler == "ddim"
         else sample_diffusion.p_sample_loop
     )
 
-    def make_chain(use_dc: bool):
+    def make_chain(use_dc: bool, use_gc: bool = False):
         """Fresh jit under the CURRENT conv impl (read at trace time)."""
 
         @jax.jit
         def chain(params, key):
+            if gc_interval:
+                # guided study: both sets run trained classifier guidance on
+                # the (unconditional) generator; the variant caches the
+                # gradient 1-in-N steps
+                def model_fn(x, t, **kw):
+                    return model_bf16.apply(
+                        {"params": params}, x, t,
+                        **{k: v for k, v in kw.items() if k != "y"},
+                    )
+
+                cond_fn, cond_state0 = cond_fresh, None
+                if use_gc:
+                    cond_fn, cond_state0 = cached_cond_fn(
+                        cond_fresh, gc_interval, shape
+                    )
+                return loop(
+                    model_fn, shape, key, model_kwargs={"y": guide_y},
+                    cond_fn=cond_fn, cond_state0=cond_state0,
+                )
             if use_dc:
                 # DeepCache variant: interval-N deep-feature reuse on the
                 # TRAINED model (diffusion/deep_cache.py; same wiring as the
@@ -197,11 +292,16 @@ def main():
     chains = {}
 
     def sample_set(name: str, seed0: int) -> np.ndarray:
-        # name: "base" = bf16/xla uncached; "variant" = int8 convs or DeepCache
-        set_conv_impl("int8" if (name == "variant" and not dc_interval) else "xla")
+        # name: "base" = bf16/xla uncached (fully guided when gcN);
+        # "variant" = int8 convs, DeepCache, or cached guidance
+        set_conv_impl(
+            "int8" if (name == "variant" and not dc_interval and not gc_interval)
+            else "xla"
+        )
         if name not in chains:
             chains[name] = make_chain(
-                use_dc=(name == "variant" and dc_interval > 0)
+                use_dc=(name == "variant" and dc_interval > 0),
+                use_gc=(name == "variant" and gc_interval > 0),
             )  # one compile per mode
         chain = chains[name]
         outs = []
