@@ -30,7 +30,10 @@ reuse — fidelity on a TRAINED model, which tools/deep_cache_bench.py's
 random-init comparison cannot provide; "gcN" = guidance-gradient caching:
 trains a small noised classifier on the blobs' dominant-color label too,
 then compares the FULLY-guided chain against the 1-in-N cached-guidance
-chain — real trained guidance, same-seed + set-Frechet metrics;
+chain — real trained guidance, same-seed + set-Frechet metrics; or any
+"+"-composition such as "int8+dc5+gc2", which measures the DEPLOYMENT
+STACK as one chain — int8 convs + DeepCache-5 generator + 1-in-2 cached
+guidance — against the fresh fully-guided bf16 reference chain;
 INT8Q_GUIDE_SCALE, default 10). On a 1-core CPU box use ~150 train steps /
 32 samples (hours otherwise); on a TPU chip the defaults run in minutes.
 """
@@ -97,8 +100,12 @@ def main():
     respacing = os.environ.get("INT8Q_RESPACING", "")
     sampler = os.environ.get("INT8Q_SAMPLER", "ancestral")
     variant = os.environ.get("INT8Q_VARIANT", "int8")
-    dc_interval = int(variant[2:]) if variant.startswith("dc") else 0
-    gc_interval = int(variant[2:]) if variant.startswith("gc") else 0
+    # "int8" | "dcN" | "gcN" | any "+"-composition, e.g. "int8+dc5+gc2" (the
+    # deployment stack measured as ONE chain vs the fresh bf16 reference)
+    parts = variant.split("+")
+    dc_interval = next((int(p[2:]) for p in parts if p.startswith("dc")), 0)
+    gc_interval = next((int(p[2:]) for p in parts if p.startswith("gc")), 0)
+    use_int8 = "int8" in parts
     guide_scale = float(os.environ.get("INT8Q_GUIDE_SCALE", 10.0))
 
     logger.configure_dir(dir="/tmp/int8_chain_quality", format_strs=[])
@@ -238,20 +245,48 @@ def main():
     )
 
     def make_chain(use_dc: bool, use_gc: bool = False):
-        """Fresh jit under the CURRENT conv impl (read at trace time)."""
+        """Fresh jit under the CURRENT conv impl (read at trace time).
+
+        dc/gc compose: a guided study (gc_interval set) with use_dc runs the
+        deep-cached generator under (possibly cached) classifier guidance —
+        the classifier_sample.py --deep_cache --guidance_cache stack.
+        """
 
         @jax.jit
         def chain(params, key):
-            if gc_interval:
-                # guided study: both sets run trained classifier guidance on
-                # the (unconditional) generator; the variant caches the
-                # gradient 1-in-N steps
+            # generator model_fn: plain or interval-N deep-feature reuse
+            # (diffusion/deep_cache.py; same wiring as the CLIs' --deep_cache).
+            # The generator is unconditional — strip the guided study's y.
+            model_state0 = None
+            if use_dc:
+                def apply_full(x, t, **kw):
+                    return model_bf16.apply(
+                        {"params": params}, x, t, cache_mode="full",
+                        **{k: v for k, v in kw.items() if k != "y"},
+                    )
+
+                def apply_shallow(x, t, deep, **kw):
+                    return model_bf16.apply(
+                        {"params": params}, x, t, deep_cache=deep,
+                        cache_mode="shallow",
+                        **{k: v for k, v in kw.items() if k != "y"},
+                    )
+
+                model_fn = deep_cache_model_fn(apply_full, apply_shallow, dc_interval)
+                model_state0 = zero_state(
+                    apply_full, jnp.zeros(shape), jnp.zeros((B,), jnp.int32)
+                )
+            else:
                 def model_fn(x, t, **kw):
                     return model_bf16.apply(
                         {"params": params}, x, t,
                         **{k: v for k, v in kw.items() if k != "y"},
                     )
 
+            if gc_interval:
+                # guided study: both sets run trained classifier guidance on
+                # the (unconditional) generator; the variant caches the
+                # gradient 1-in-N steps
                 cond_fn, cond_state0 = cond_fresh, None
                 if use_gc:
                     cond_fn, cond_state0 = cached_cond_fn(
@@ -260,32 +295,9 @@ def main():
                 return loop(
                     model_fn, shape, key, model_kwargs={"y": guide_y},
                     cond_fn=cond_fn, cond_state0=cond_state0,
+                    model_state0=model_state0,
                 )
-            if use_dc:
-                # DeepCache variant: interval-N deep-feature reuse on the
-                # TRAINED model (diffusion/deep_cache.py; same wiring as the
-                # sampling CLIs' --deep_cache flag)
-                def apply_full(x, t, **kw):
-                    return model_bf16.apply(
-                        {"params": params}, x, t, cache_mode="full", **kw
-                    )
-
-                def apply_shallow(x, t, deep, **kw):
-                    return model_bf16.apply(
-                        {"params": params}, x, t, deep_cache=deep,
-                        cache_mode="shallow", **kw,
-                    )
-
-                sfn = deep_cache_model_fn(apply_full, apply_shallow, dc_interval)
-                state0 = zero_state(
-                    apply_full, jnp.zeros(shape), jnp.zeros((B,), jnp.int32)
-                )
-                return loop(sfn, shape, key, model_state0=state0)
-
-            def model_fn(x, t, **kw):
-                return model_bf16.apply({"params": params}, x, t, **kw)
-
-            return loop(model_fn, shape, key)
+            return loop(model_fn, shape, key, model_state0=model_state0)
 
         return chain
 
@@ -293,11 +305,8 @@ def main():
 
     def sample_set(name: str, seed0: int) -> np.ndarray:
         # name: "base" = bf16/xla uncached (fully guided when gcN);
-        # "variant" = int8 convs, DeepCache, or cached guidance
-        set_conv_impl(
-            "int8" if (name == "variant" and not dc_interval and not gc_interval)
-            else "xla"
-        )
+        # "variant" = int8 convs, DeepCache, and/or cached guidance per parts
+        set_conv_impl("int8" if (name == "variant" and use_int8) else "xla")
         if name not in chains:
             chains[name] = make_chain(
                 use_dc=(name == "variant" and dc_interval > 0),
