@@ -158,3 +158,85 @@ class TestComposition:
             )
 
         assert np.isfinite(np.asarray(run(jax.random.key(3)))).all()
+
+
+class TestDeepCacheComposition:
+    """The deployment stack's scan carry: deep_cache_model_fn on the generator
+    + cached_cond_fn on the guidance, threaded through model_state0 AND
+    cond_state0 of the same loop (what classifier_sample --deep_cache N
+    --guidance_cache M builds; measured on-chip in tools/
+    guidance_interval_bench.py and tools/int8_chain_quality.py int8+dcN+gcM)."""
+
+    def _setup(self):
+        from guided_diffusion_clip_tpu.models.unet import UNetConfig, UNetModel
+
+        model = UNetModel(config=UNetConfig(
+            image_size=8, in_channels=3, model_channels=32, out_channels=6,
+            num_res_blocks=1, attention_resolutions=(4,), channel_mult=(1, 2),
+            num_heads=2, use_scale_shift_norm=True, resblock_updown=True,
+        ))
+        x = jnp.asarray(np.random.RandomState(0).randn(*SHAPE), jnp.float32)
+        params = model.init(jax.random.key(0), x, jnp.zeros((SHAPE[0],)))["params"]
+        params = jax.tree_util.tree_map(
+            lambda v: v + 0.02 * np.random.RandomState(1).standard_normal(v.shape).astype(v.dtype),
+            params,
+        )
+        return model, params
+
+    def _chain(self, model, params, dc, gc):
+        from guided_diffusion_clip_tpu.diffusion.deep_cache import (
+            deep_cache_model_fn,
+            zero_state,
+        )
+
+        sched = named_schedule("cosine", T)
+        key = jax.random.key(5)
+
+        @jax.jit
+        def run(params):
+            cond_fn, cond_state0 = cond, None
+            if gc:
+                cond_fn, cond_state0 = cached_cond_fn(cond, gc, SHAPE)
+            if dc:
+                def apply_full(x, t, **kw):
+                    return model.apply({"params": params}, x, t, cache_mode="full", **kw)
+
+                def apply_shallow(x, t, deep, **kw):
+                    return model.apply(
+                        {"params": params}, x, t, deep_cache=deep,
+                        cache_mode="shallow", **kw,
+                    )
+
+                sfn = deep_cache_model_fn(apply_full, apply_shallow, dc)
+                state0 = zero_state(
+                    apply_full, jnp.zeros(SHAPE), jnp.zeros((SHAPE[0],), jnp.int32)
+                )
+                return p_sample_loop(
+                    sched, sfn, SHAPE, key,
+                    cond_fn=cond_fn, cond_state0=cond_state0, model_state0=state0,
+                )
+
+            def model_fn(x, t, **kw):
+                return model.apply({"params": params}, x, t, **kw)
+
+            return p_sample_loop(
+                sched, model_fn, SHAPE, key,
+                cond_fn=cond_fn, cond_state0=cond_state0,
+            )
+
+        return np.asarray(run(params))
+
+    def test_identity_at_interval_one(self):
+        model, params = self._setup()
+        ref = self._chain(model, params, dc=0, gc=0)
+        got = self._chain(model, params, dc=1, gc=1)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_composed_intervals_finite_and_close(self):
+        model, params = self._setup()
+        ref = self._chain(model, params, dc=0, gc=0)
+        got = self._chain(model, params, dc=2, gc=3)
+        assert np.isfinite(got).all()
+        # approximation, not identity — but the caches must not derail the chain
+        c = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+        assert c > 0.98, c
