@@ -12,7 +12,12 @@ Usage: python tools/sampler_family_bench.py        (ambient axon env)
 Env: SFB_BATCH (16), SFB_IMAGE_SIZE (256), SFB_CONV_IMPL (int8 | xla),
 SFB_SAMPLERS ("ddim25;dpm25;ancestral250" — prefix selects the loop, suffix
 the respacing; "ancestral250" is the known headline, included for an
-in-run baseline), SFB_FP16 (1).
+in-run baseline), SFB_FP16 (1), SFB_GUIDANCE ("classifier" | "clip" =
+CLIP ViT-B/32 cosine-similarity gradient on the noisy x (the repo's
+namesake surface, scripts/clip_guided_sample.py) | "clip_x0" = the same
+gradient through the model's pred_xstart — differentiates through a full
+UNet forward per step, the expensive public-technique mode; forces bf16
+emission since the s8 fast path has no tangent).
 """
 
 import json
@@ -101,6 +106,27 @@ def main():
     t0 = time.time()
     results = {}
 
+    guidance = os.environ.get("SFB_GUIDANCE", "classifier")
+    clip_vision = clip_vparams = clip_target = clip_cfg = None
+    if guidance in ("clip", "clip_x0"):
+        from guided_diffusion_clip_tpu.models.clip_vit import (
+            CLIPConfig,
+            CLIPVisionEncoder,
+            clip_guidance_cond_fn,
+        )
+
+        clip_cfg = CLIPConfig()  # ViT-B/32
+        clip_vision = CLIPVisionEncoder(clip_cfg)
+        clip_vparams = random_fill(
+            jax.eval_shape(lambda: clip_vision.init(
+                jax.random.key(2),
+                jnp.zeros((B, clip_cfg.image_size, clip_cfg.image_size, 3)))),
+            2,
+        )["params"]
+        clip_target = jnp.asarray(
+            np.random.RandomState(3).standard_normal(clip_cfg.embed_dim), jnp.float32
+        )
+
     for spec in specs:
         kind, respacing = parse_sampler(spec)
         diffusion = create_gaussian_diffusion(
@@ -114,29 +140,48 @@ def main():
         }[kind]
 
         @jax.jit
-        def chain(params, cparams, key, _loop=loop):
-            def classifier_fn(xx, t):
-                return classifier.apply({"params": cparams}, xx, t)
+        def chain(params, cparams, vparams, key, _loop=loop, _diff=diffusion):
+            # s8 emission has no tangent: pred-x0 CLIP guidance differentiates
+            # through the UNet, so it must emit bf16 (clip_guided_sample.py)
+            emit = "bf16" if guidance == "clip_x0" else "s8"
 
             def unet_fn(xx, t, **kw):
-                with int8_emit("s8"):
+                with int8_emit(emit):
                     return model.apply({"params": params}, xx, t, **kw)
 
+            model_fn = model_fn_dropping_y(unet_fn, class_cond=True)
+            if guidance == "classifier":
+                def classifier_fn(xx, t):
+                    return classifier.apply({"params": cparams}, xx, t)
+
+                cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
+            else:
+                def embed(pixels):
+                    return clip_vision.apply({"params": vparams}, pixels)
+
+                cond_fn = clip_guidance_cond_fn(
+                    embed, clip_target, scale=100.0,
+                    clip_image_size=clip_cfg.image_size,
+                    sched=_diff.sched, mean_type=_diff.mean_type,
+                    var_type=_diff.var_type, model_fn=model_fn,
+                    use_pred_xstart=(guidance == "clip_x0"),
+                )
+
             return _loop(
-                model_fn_dropping_y(unet_fn, class_cond=True), shape, key,
+                model_fn, shape, key,
                 clip_denoised=True, model_kwargs={"y": classes},
-                cond_fn=classifier_cond_fn(classifier_fn, classifier_scale=1.0),
+                cond_fn=cond_fn,
             )
 
         tc = time.time()
-        out = np.asarray(chain(params, cparams, key))
+        out = np.asarray(chain(params, cparams, clip_vparams, key))
         print(
             f"[sfb +{time.time()-t0:.0f}s] {spec}: compile+first in "
             f"{time.time()-tc:.0f}s, finite={bool(np.isfinite(out).all())}",
             flush=True,
         )
         tr = time.time()
-        np.asarray(chain(params, cparams, key))
+        np.asarray(chain(params, cparams, clip_vparams, key))
         secs = time.time() - tr
         spm = B / secs * 60
         print(
