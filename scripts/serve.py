@@ -19,8 +19,10 @@ cached executable:
                              -> .npz bytes {"arr_0": uint8 [n,H,W,3]}
                                 or JSON {"png_base64": ..., "n": n}
 
-Requests are padded to the compiled batch and sliced back, so every request
-reuses the one executable regardless of its size (<= --batch_size). A lock
+Requests are padded to the compiled batch and sliced back — or, when larger
+than the batch, chunked across dispatches of the same executable (capped by
+--max_request, default 8x the batch) — so every request reuses the one
+compiled program regardless of its size. A lock
 serializes device use; decode/encode runs outside it. Sampler selection,
 int8 inference, DeepCache, and classifier-free guidance (--cfg_scale, a
 server-level knob — the CFG chain is a different program) compose exactly
@@ -167,6 +169,7 @@ class Sampler:
         self._lock = threading.Lock()
         self.compiled = False
         # request coalescing (see module docstring); 0 = off
+        self.max_request = int(getattr(args, "max_request", 0)) or 8 * self.batch
         self.coalesce_ms = float(getattr(args, "coalesce_ms", 0.0))
         self.dispatches = 0
         self.coalesced_requests = 0
@@ -185,10 +188,11 @@ class Sampler:
 
     def _validate(self, n, cond):
         """-> per-sample feat array [n, 512] (zeros when unconditioned)."""
-        if not 1 <= n <= self.batch:
+        if not 1 <= n <= self.max_request:
             raise ValueError(
-                f"num_samples must be in [1, {self.batch}] (the compiled "
-                f"serving batch; restart with a larger --batch_size)"
+                f"num_samples must be in [1, {self.max_request}] (requests "
+                f"larger than the compiled batch of {self.batch} are chunked "
+                f"across dispatches, capped at --max_request)"
             )
         feats = np.zeros((n, 512), np.float32)
         if cond is not None and self.cond_key is not None:
@@ -219,16 +223,29 @@ class Sampler:
         feats = self._validate(n, cond)
         seeds = np.full((n,), int(seed), np.int32)
         subidx = np.arange(n, dtype=np.int32)
+        # Requests larger than the compiled batch are CHUNKED across
+        # dispatches of the one executable. Per-sample RNG (bytes depend only
+        # on (seed, subidx, feat)) makes the chunked result bit-identical to
+        # any other packing of the same samples.
+        chunks = [
+            slice(i, min(i + self.batch, n)) for i in range(0, n, self.batch)
+        ]
         if self.coalesce_ms <= 0 or not self.compiled:
-            return self._run_batch(seeds, subidx, feats)
-        pending = _Pending(n, seeds, subidx, feats)
+            return np.concatenate(
+                [self._run_batch(seeds[s], subidx[s], feats[s]) for s in chunks]
+            )
+        pendings = [
+            _Pending(s.stop - s.start, seeds[s], subidx[s], feats[s])
+            for s in chunks
+        ]
         with self._queue_cv:
-            self._queue.append(pending)
+            self._queue.extend(pendings)
             self._queue_cv.notify()
-        pending.event.wait()
-        if pending.error is not None:
-            raise pending.error
-        return pending.result
+        for pending in pendings:
+            pending.event.wait()
+            if pending.error is not None:
+                raise pending.error
+        return np.concatenate([p.result for p in pendings])
 
     def _dispatcher(self):
         """Coalescing loop: the first queued request opens a --coalesce_ms
@@ -307,6 +324,7 @@ def _make_handler(sampler: Sampler):
                 "sampler": getattr(a, "sampler", "") or
                            ("ddim" if a.use_ddim else "ancestral"),
                 "coalesce_ms": sampler.coalesce_ms,
+                "max_request": sampler.max_request,
                 "dispatches": sampler.dispatches,
                 "coalesced_requests": sampler.coalesced_requests,
             })
@@ -378,6 +396,7 @@ def create_argparser():
         guidance_interval="",  # "lo,hi": CFG only for t in [lo,hi] (orig units)
         deep_cache=0,      # deep-feature reuse interval
         coalesce_ms=0.0,   # >0: batch concurrent requests into one dispatch
+        max_request=0,     # per-request sample cap; 0 = 8x batch_size
         main_path="",
     )
     defaults.update(model_and_diffusion_defaults())

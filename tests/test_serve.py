@@ -136,7 +136,21 @@ def test_serve_end_to_end(tmp_path):
             body = json.loads(r.read())
         assert body["n"] == 1 and len(body["png_base64"]) > 100
 
+        # a request LARGER than the compiled batch is chunked across
+        # dispatches; per-sample RNG makes the shared prefix bit-identical
+        # to the solo 2-sample request above (same seed, same feat rows)
+        feat6 = np.concatenate([feat, rs.randn(4, 512).astype(np.float32)])
+        with _post(port, {
+            "num_samples": 6, "seed": 3, "clip_feat": feat6.tolist(),
+        }) as r:
+            import io
+
+            arr6 = np.load(io.BytesIO(r.read()))["arr_0"]
+        assert arr6.shape == (6, 16, 16, 3)
+        np.testing.assert_array_equal(arr6[:2], arr)
+
         # validation errors come back as 400, server stays up
+        # (99 > max_request = 8 x batch 4 = 32, even with chunking)
         try:
             _post(port, {"num_samples": 99})
             raise AssertionError("expected 400")
