@@ -407,6 +407,16 @@ def main():
                 "ddim25 corr 0.99993 / rel-RMSE 1.19%, set Frechet distance "
                 "at the seed-resampling noise floor in both"
             )
+        # the headline deliberately measures the UNCACHED chain (comparable
+        # work to the reference's 250-step config); the shipped fast configs
+        # stack training-free knobs on top — measured on v5e-1, ROUND_NOTES r4
+        result["documented_fast_configs"] = (
+            "int8+deep_cache5 23.17 samples/min (9.27x); "
+            "int8+deep_cache5+guidance_cache2 26.57 (10.6x); "
+            "+guidance_interval 200,800 28.28 (11.3x) — "
+            "configs/deploy256_fast.yaml; trained-model fidelity per link "
+            "and composed in ROUND_NOTES r4 (tools/int8_chain_quality.py)"
+        )
         _BEST_RESULT = dict(result)
         _emit(result)
 
