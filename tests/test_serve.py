@@ -226,6 +226,13 @@ def test_serve_coalescing(tmp_path):
         # coalesced bytes == solo bytes: co-batching is invisible
         np.testing.assert_array_equal(co3, solo3)
         np.testing.assert_array_equal(co9, solo9)
+
+        # a CHUNKED request (6 > batch 4) through the coalescing queue:
+        # chunks ride separate dispatches, prefix bytes still equal solo
+        with _post(port, {"num_samples": 6, "seed": 3}) as r:
+            arr6 = np.load(io.BytesIO(r.read()))["arr_0"]
+        assert arr6.shape[0] == 6
+        np.testing.assert_array_equal(arr6[:2], solo3)
     finally:
         proc.terminate()
         try:
