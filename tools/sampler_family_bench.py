@@ -17,7 +17,10 @@ CLIP ViT-B/32 cosine-similarity gradient on the noisy x (the repo's
 namesake surface, scripts/clip_guided_sample.py) | "clip_x0" = the same
 gradient through the model's pred_xstart — differentiates through a full
 UNet forward per step, the expensive public-technique mode; forces bf16
-emission since the s8 fast path has no tangent).
+emission since the s8 fast path has no tangent), SFB_GUIDANCE_CACHE (0;
+N>1 recomputes the guidance gradient 1-in-N steps via cached_cond_fn —
+the lever that matters most for clip_x0, where each fresh gradient costs
+a full extra UNet forward+VJP).
 """
 
 import json
@@ -36,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from guided_diffusion_clip_tpu.diffusion.guidance import (
+    cached_cond_fn,
     classifier_cond_fn,
     model_fn_dropping_y,
 )
@@ -167,10 +171,14 @@ def main():
                     use_pred_xstart=(guidance == "clip_x0"),
                 )
 
+            cond_state0 = None
+            gc_n = int(os.environ.get("SFB_GUIDANCE_CACHE", 0))
+            if gc_n > 1:
+                cond_fn, cond_state0 = cached_cond_fn(cond_fn, gc_n, shape)
             return _loop(
                 model_fn, shape, key,
                 clip_denoised=True, model_kwargs={"y": classes},
-                cond_fn=cond_fn,
+                cond_fn=cond_fn, cond_state0=cond_state0,
             )
 
         tc = time.time()
