@@ -178,6 +178,84 @@ def cfg_model_fn(
     return fn
 
 
+def cfg_cached_model_fn(
+    model_fn: Callable,
+    cfg_scale: float,
+    null_kwargs: dict,
+    every: int,
+    interval: tuple[float, float] | None = None,
+) -> Callable:
+    """Classifier-free guidance with a CACHED unconditional branch.
+
+    The CFG analog of cached_cond_fn: the conditional branch runs every step
+    on the plain batch; the unconditional branch is recomputed only 1-in-
+    `every` steps and its output rides the scan carry in between. CFG cost
+    drops from 2x the model to (1 + 1/every)x — the uncond eps field varies
+    as smoothly along the chain as the guidance gradient does, so the same
+    1-in-N refresh tracks it (fidelity measured like gcN in
+    tools/int8_chain_quality.py, variant cfgcN).
+
+    Returns a STATEFUL model fn `(x, t, state, **kw) -> (out, state)` for the
+    sampling loops' `model_state0` slot; build state0 with
+    `cfg_cached_state0`. Unlike cfg_model_fn's doubled batch, refresh steps
+    run two B-sized model calls — mathematically identical (convs/GroupNorm/
+    attention are all per-image), and at the batch sizes that saturate the
+    chip the doubled batch holds no throughput edge.
+
+    `interval=(lo, hi)` composes like cfg_model_fn's: outside the window only
+    the conditional branch's output is used and the uncond refresh is
+    lax.cond-skipped. The refresh counter advances only on inside-window
+    steps, so the FIRST guided step always refreshes (never combines against
+    the zeros in state0).
+    """
+    assert every >= 1
+
+    def fn(x, t, state, **kwargs):
+        j, u_prev = state
+        cond_out = model_fn(x, t, **kwargs)
+        c = x.shape[-1]
+        if interval is None:
+            inside = jnp.bool_(True)
+        else:
+            tt = jnp.asarray(t).reshape(-1)[0].astype(jnp.float32)
+            inside = jnp.logical_and(tt >= interval[0], tt <= interval[1])
+        refresh = jnp.logical_and(inside, j % every == 0)
+        u = jax.lax.cond(
+            refresh,
+            lambda: model_fn(x, t, **_null_merge(kwargs, null_kwargs)).astype(
+                u_prev.dtype
+            ),
+            lambda: u_prev,
+        )
+        eps = u[..., :c] + cfg_scale * (cond_out[..., :c] - u[..., :c])
+        out = jnp.concatenate([eps, cond_out[..., c:]], axis=-1)
+        out = jnp.where(inside, out, cond_out)
+        return out, (jnp.where(inside, j + 1, j), u)
+
+    return fn
+
+
+def cfg_cached_state0(model_fn: Callable, x, t, **kwargs):
+    """(counter, zeros-of-model-output) initial carry for cfg_cached_model_fn.
+
+    Shape-infers the model output via jax.eval_shape (no compile, no device
+    work — the deep_cache.zero_state pattern)."""
+    out = jax.eval_shape(lambda: model_fn(x, t, **kwargs))
+    return (jnp.zeros((), jnp.int32), jnp.zeros(out.shape, out.dtype))
+
+
+def _null_merge(kwargs: dict, null_kwargs: dict) -> dict:
+    """kwargs with the conditioning keys replaced by their null values
+    (the single-batch counterpart of cfg_double's bottom half)."""
+    kw = {}
+    for k, v in kwargs.items():
+        if v is None or k not in null_kwargs:
+            kw[k] = v
+        else:
+            kw[k] = jnp.broadcast_to(jnp.asarray(null_kwargs[k], dtype=v.dtype), v.shape)
+    return kw
+
+
 def cfg_double(x, t, kwargs: dict, null_kwargs: dict):
     """Stack the conditional batch on top of its null-conditioned twin."""
     x2 = jnp.concatenate([x, x], axis=0)

@@ -24,6 +24,8 @@ import numpy as np
 
 from guided_diffusion_clip_tpu.diffusion.guidance import (
     cached_cond_fn,
+    cfg_cached_model_fn,
+    cfg_cached_state0,
     cfg_model_fn,
     interval_cond_fn,
     parse_guidance_interval,
@@ -182,6 +184,7 @@ def main():
             # (model trained with --cond_dropout); composes with the CLIP
             # guidance cond_fn, which keeps the plain conditional model
             loop_model_fn = model_fn
+            model_state0 = None
             if getattr(args, "cfg_scale", 0.0):
                 if not args.class_cond:
                     raise SystemExit(
@@ -189,12 +192,28 @@ def main():
                         "(--class_cond True); an unconditional model has no "
                         "conditioning to guide on"
                     )
-                _cfg = cfg_model_fn(
-                    base_fn, args.cfg_scale, {"clip_feat": 0.0}, interval=g_interval
-                )
+                if int(getattr(args, "cfg_cache", 0)) > 1:
+                    # cached uncond branch: recompute 1-in-N, carry in the
+                    # scan alongside the (independent) cond_state0 slot
+                    _sfn = cfg_cached_model_fn(
+                        base_fn, args.cfg_scale, {"clip_feat": 0.0},
+                        int(args.cfg_cache), interval=g_interval,
+                    )
+                    model_state0 = cfg_cached_state0(
+                        base_fn, jnp.zeros(shape),
+                        jnp.zeros((shape[0],), jnp.int32),
+                        **inject_target(jnp.zeros(shape), {}),
+                    )
 
-                def loop_model_fn(x, t, **kw):
-                    return _cfg(x, t, **inject_target(x, kw))
+                    def loop_model_fn(x, t, state, **kw):
+                        return _sfn(x, t, state, **inject_target(x, kw))
+                else:
+                    _cfg = cfg_model_fn(
+                        base_fn, args.cfg_scale, {"clip_feat": 0.0}, interval=g_interval
+                    )
+
+                    def loop_model_fn(x, t, **kw):
+                        return _cfg(x, t, **inject_target(x, kw))
 
             def embed(pixels):
                 return clip_vision.apply({"params": vparams}, pixels)
@@ -220,7 +239,7 @@ def main():
             return loop(
                 loop_model_fn, shape, key,
                 clip_denoised=args.clip_denoised, cond_fn=cond_fn,
-                cond_state0=cond_state0,
+                cond_state0=cond_state0, model_state0=model_state0,
             )
 
         rng, sample_rng = jax.random.split(rng)
@@ -257,6 +276,7 @@ def create_argparser():
         spatial_shard=0,  # >1: shard each image's H over a 'space' mesh axis (SP)
         tensor_shard=0,  # >1: shard activation channels over a 'model' mesh axis (TP)
         cfg_scale=0.0,  # >0: classifier-free guidance (model trained w/ cond_dropout)
+        cfg_cache=0,  # N>1: recompute the CFG uncond branch 1-in-N steps
         guidance_interval="",  # "lo,hi": guide only for t in [lo,hi] (orig units)
         guidance_cache=0,  # N>1: recompute the guidance gradient 1-in-N steps
     )

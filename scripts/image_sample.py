@@ -26,7 +26,12 @@ from guided_diffusion_clip_tpu.diffusion.deep_cache import (
     deep_cache_model_fn,
     zero_state,
 )
-from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn, parse_guidance_interval
+from guided_diffusion_clip_tpu.diffusion.guidance import (
+    cfg_cached_model_fn,
+    cfg_cached_state0,
+    cfg_model_fn,
+    parse_guidance_interval,
+)
 from guided_diffusion_clip_tpu.parallel import dist as pdist
 from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.checkpoint import init_template, load_params, setup_compilation_cache
@@ -113,6 +118,7 @@ def main():
     # pathologically slow on remote-attached TPUs); params travel as jit
     # ARGUMENTS so weights aren't baked into the executable as constants.
     cfg_scale = float(getattr(args, "cfg_scale", 0.0))
+    cfg_cache_n = int(getattr(args, "cfg_cache", 0))
     deep_cache_n = int(getattr(args, "deep_cache", 0))
     deep_cut = int(getattr(args, "deep_cache_cut", 0))
     g_interval = parse_guidance_interval(getattr(args, "guidance_interval", ""))
@@ -122,6 +128,11 @@ def main():
         # the CFG branch's cache holds 2B rows, the plain branch's B — the
         # lax.cond carries can't switch shapes mid-chain
         raise SystemExit("--guidance_interval does not compose with --deep_cache + CFG")
+    if cfg_cache_n > 1 and not cfg_scale:
+        raise SystemExit("--cfg_cache caches the CFG uncond branch; it needs --cfg_scale")
+    if cfg_cache_n > 1 and deep_cache_n > 1:
+        # both wrappers own the scan's model_state0 carry
+        raise SystemExit("--cfg_cache does not compose with --deep_cache (yet)")
 
     def build_null(model_kwargs):
         # classifier-free guidance (beyond reference): needs a model trained
@@ -186,6 +197,25 @@ def main():
             )
 
         if cfg_scale:
+            if cfg_cache_n > 1:
+                # CFG with a cached uncond branch: recompute 1-in-N steps,
+                # carry the uncond output in the scan (cost (1 + 1/N)x model)
+                sfn = cfg_cached_model_fn(
+                    model_fn, cfg_scale, build_null(model_kwargs),
+                    cfg_cache_n, interval=g_interval,
+                )
+                state0 = cfg_cached_state0(
+                    model_fn, jnp.zeros(shape),
+                    jnp.zeros((shape[0],), jnp.int32), **model_kwargs,
+                )
+                return loop(
+                    sfn, shape, key,
+                    clip_denoised=args.clip_denoised,
+                    model_kwargs=model_kwargs,
+                    denoise_start_point=dsp,
+                    init_image=init_image,
+                    model_state0=state0,
+                )
             model_fn = cfg_model_fn(
                 model_fn, cfg_scale, build_null(model_kwargs), interval=g_interval
             )
@@ -268,6 +298,7 @@ def create_argparser():
         conv_impl="auto",  # auto|xla|int8: int8 = quantized MXU fast path
         cfg_scale=0.0,  # >0: classifier-free guidance (model trained w/ cond_dropout)
         cfg_null_y=-1,  # null class index for CFG on y-labelled models
+        cfg_cache=0,  # N>1: recompute the CFG uncond branch 1-in-N steps
         guidance_interval="",  # "lo,hi": CFG only for t in [lo,hi] (orig units)
         deep_cache=0,  # N>1: refresh the deep sub-UNet every N steps (DeepCache)
         deep_cache_cut=0,  # shallow input blocks; 0 = below the full-res level

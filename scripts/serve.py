@@ -63,7 +63,12 @@ from guided_diffusion_clip_tpu.diffusion.deep_cache import (
     deep_cache_model_fn,
     zero_state,
 )
-from guided_diffusion_clip_tpu.diffusion.guidance import cfg_model_fn, parse_guidance_interval
+from guided_diffusion_clip_tpu.diffusion.guidance import (
+    cfg_cached_model_fn,
+    cfg_cached_state0,
+    cfg_model_fn,
+    parse_guidance_interval,
+)
 from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.checkpoint import (
     init_template,
@@ -106,12 +111,15 @@ class Sampler:
         self.cond_key = "clip_feat" if args.class_cond else None
         loop = resolve_sampler(diffusion, args)
         cfg_scale = float(getattr(args, "cfg_scale", 0.0))
+        cfg_cache_n = int(getattr(args, "cfg_cache", 0))
         deep_cache_n = int(getattr(args, "deep_cache", 0))
         g_interval = parse_guidance_interval(getattr(args, "guidance_interval", ""))
         if cfg_scale and self.cond_key is None:
             raise SystemExit("--cfg_scale needs a conditioned model (--class_cond)")
         if g_interval is not None and not cfg_scale:
             raise SystemExit("serve.py: --guidance_interval gates CFG; it needs --cfg_scale")
+        if cfg_cache_n > 1 and not cfg_scale:
+            raise SystemExit("serve.py: --cfg_cache caches the CFG uncond branch; it needs --cfg_scale")
         if cfg_scale and deep_cache_n > 1:
             raise SystemExit(
                 "serve.py: use --deep_cache or --cfg_scale, not both "
@@ -137,9 +145,20 @@ class Sampler:
 
             mf, state0 = model_fn, None
             if cfg_scale:
-                mf = cfg_model_fn(
-                    model_fn, cfg_scale, {"clip_feat": 0.0}, interval=g_interval
-                )
+                if cfg_cache_n > 1:
+                    # cached uncond branch: (1 + 1/N)x model cost per step
+                    mf = cfg_cached_model_fn(
+                        model_fn, cfg_scale, {"clip_feat": 0.0},
+                        cfg_cache_n, interval=g_interval,
+                    )
+                    state0 = cfg_cached_state0(
+                        model_fn, jnp.zeros(self.shape),
+                        jnp.zeros((self.batch,), jnp.int32), **model_kwargs,
+                    )
+                else:
+                    mf = cfg_model_fn(
+                        model_fn, cfg_scale, {"clip_feat": 0.0}, interval=g_interval
+                    )
             if deep_cache_n > 1:
                 def apply_full(x, t, **kw):
                     with int8_emit("s8"):
@@ -393,6 +412,7 @@ def create_argparser():
         sampler="",        # "", ancestral, ddim, dpm++2m
         conv_impl="auto",  # int8 for the measured fast path
         cfg_scale=0.0,     # classifier-free guidance (server-level knob)
+        cfg_cache=0,       # N>1: recompute the CFG uncond branch 1-in-N steps
         guidance_interval="",  # "lo,hi": CFG only for t in [lo,hi] (orig units)
         deep_cache=0,      # deep-feature reuse interval
         coalesce_ms=0.0,   # >0: batch concurrent requests into one dispatch

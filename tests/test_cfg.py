@@ -185,3 +185,129 @@ def test_train_cond_dropout_then_cfg_sample(tmp_path):
     assert np.isfinite(guided).all()
     assert np.abs(guided).max() <= 1.0 + 1e-5  # clip_denoised keeps range
     assert np.abs(guided - plain).max() > 1e-4  # guidance moved the chain
+
+
+class TestCfgCachedModelFn:
+    """--cfg_cache: the unconditional branch recomputed 1-in-N steps, its
+    output carried through the scan (guidance.cfg_cached_model_fn)."""
+
+    def _stub(self, x, t, y=None, **kw):
+        s = (1.0 + y).reshape((-1,) + (1,) * (x.ndim - 1))
+        # depends on x AND t so stale reuse is detectable
+        tt = t.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+        return jnp.concatenate([x * s + 0.01 * tt, jnp.full_like(x, 7.0)], axis=-1)
+
+    def _loops(self):
+        from guided_diffusion_clip_tpu.diffusion import (
+            ddim_sample_loop,
+            p_sample_loop,
+        )
+        from guided_diffusion_clip_tpu.diffusion.sampling import (
+            dpm_solver_pp_2m_loop,
+        )
+
+        return [p_sample_loop, ddim_sample_loop, dpm_solver_pp_2m_loop]
+
+    def test_every1_matches_doubled_batch_cfg(self):
+        from guided_diffusion_clip_tpu.diffusion import named_schedule
+        from guided_diffusion_clip_tpu.diffusion.guidance import (
+            cfg_cached_model_fn,
+            cfg_cached_state0,
+        )
+
+        T, shape = 20, (2, 8, 8, 3)
+        sched = named_schedule("cosine", T)
+        y = jnp.asarray([1.0, 2.0])
+        for loop in self._loops():
+            plain = loop(
+                sched, cfg_model_fn(self._stub, 2.0, {"y": 0.0}), shape,
+                jax.random.key(0), model_kwargs={"y": y},
+            )
+            fn = cfg_cached_model_fn(self._stub, 2.0, {"y": 0.0}, every=1)
+            state0 = cfg_cached_state0(
+                self._stub, jnp.zeros(shape), jnp.zeros((2,)), y=y
+            )
+            cached = loop(
+                sched, fn, shape, jax.random.key(0),
+                model_kwargs={"y": y}, model_state0=state0,
+            )
+            np.testing.assert_allclose(
+                np.asarray(cached), np.asarray(plain), rtol=1e-5, atol=1e-6
+            )
+
+    def test_everyN_finite_and_close(self):
+        from guided_diffusion_clip_tpu.diffusion import named_schedule, p_sample_loop
+        from guided_diffusion_clip_tpu.diffusion.guidance import (
+            cfg_cached_model_fn,
+            cfg_cached_state0,
+        )
+
+        T, shape = 30, (2, 8, 8, 3)
+        sched = named_schedule("cosine", T)
+        y = jnp.asarray([1.0, 2.0])
+        plain = p_sample_loop(
+            sched, cfg_model_fn(self._stub, 2.0, {"y": 0.0}), shape,
+            jax.random.key(0), model_kwargs={"y": y},
+        )
+        fn = cfg_cached_model_fn(self._stub, 2.0, {"y": 0.0}, every=3)
+        state0 = cfg_cached_state0(self._stub, jnp.zeros(shape), jnp.zeros((2,)), y=y)
+        cached = p_sample_loop(
+            sched, fn, shape, jax.random.key(0),
+            model_kwargs={"y": y}, model_state0=state0,
+        )
+        a, b = np.asarray(plain), np.asarray(cached)
+        assert np.isfinite(b).all()
+        assert not np.allclose(a, b)  # the cache is an approximation
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.98, corr
+
+    def test_interval_degenerate_window_is_conditional_chain(self):
+        # a window covering NO timestep must reduce to the plain conditional
+        # chain exactly (and never combine against the zeros in state0)
+        from guided_diffusion_clip_tpu.diffusion import named_schedule, p_sample_loop
+        from guided_diffusion_clip_tpu.diffusion.guidance import (
+            cfg_cached_model_fn,
+            cfg_cached_state0,
+        )
+
+        T, shape = 20, (2, 8, 8, 3)
+        sched = named_schedule("cosine", T)
+        y = jnp.asarray([1.0, 2.0])
+        plain = p_sample_loop(
+            sched, self._stub, shape, jax.random.key(0), model_kwargs={"y": y}
+        )
+        fn = cfg_cached_model_fn(
+            self._stub, 2.0, {"y": 0.0}, every=2, interval=(-3.0, -1.0)
+        )
+        state0 = cfg_cached_state0(self._stub, jnp.zeros(shape), jnp.zeros((2,)), y=y)
+        gated = p_sample_loop(
+            sched, fn, shape, jax.random.key(0),
+            model_kwargs={"y": y}, model_state0=state0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gated), np.asarray(plain), rtol=1e-5, atol=1e-6
+        )
+
+    def test_interval_full_window_matches_uninterval(self):
+        from guided_diffusion_clip_tpu.diffusion import named_schedule, p_sample_loop
+        from guided_diffusion_clip_tpu.diffusion.guidance import (
+            cfg_cached_model_fn,
+            cfg_cached_state0,
+        )
+
+        T, shape = 20, (2, 8, 8, 3)
+        sched = named_schedule("cosine", T)
+        y = jnp.asarray([1.0, 2.0])
+
+        def run(interval):
+            fn = cfg_cached_model_fn(self._stub, 2.0, {"y": 0.0}, every=2, interval=interval)
+            state0 = cfg_cached_state0(self._stub, jnp.zeros(shape), jnp.zeros((2,)), y=y)
+            return p_sample_loop(
+                sched, fn, shape, jax.random.key(0),
+                model_kwargs={"y": y}, model_state0=state0,
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(run((0.0, float(T)))), np.asarray(run(None)),
+            rtol=1e-6, atol=1e-7,
+        )

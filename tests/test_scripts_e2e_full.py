@@ -323,11 +323,14 @@ class TestSampleVariants:
         arr = np.load(npz[0])["arr_0"]
         assert arr.shape[0] == 2 and np.isfinite(arr).all()
 
-    @pytest.mark.parametrize("deep_cache", ["0", "2"])
-    def test_image_sample_cfg(self, dataset16, tiny_ckpt16, tmp_path, deep_cache):
+    @pytest.mark.parametrize(
+        "deep_cache,cfg_cache", [("0", "0"), ("2", "0"), ("0", "2")]
+    )
+    def test_image_sample_cfg(self, dataset16, tiny_ckpt16, tmp_path, deep_cache, cfg_cache):
         """--cfg_scale runs the doubled-batch classifier-free-guidance
         chain through the CLI flag plumbing (clip_feat zero-null);
-        deep_cache=2 drives the CFG x DeepCache composition."""
+        deep_cache=2 drives the CFG x DeepCache composition; cfg_cache=2
+        drives the cached-uncond-branch chain (cfg_cached_model_fn)."""
         img_dir, clip_path = dataset16
         out_dir = str(tmp_path / "cfg")
         os.makedirs(out_dir)
@@ -338,6 +341,7 @@ class TestSampleVariants:
                 "--class_cond", "True",
                 "--timestep_respacing", "5",
                 "--cfg_scale", "2.5",
+                "--cfg_cache", cfg_cache,
                 "--deep_cache", deep_cache,
                 "--model_path", tiny_ckpt16,
                 "--data_dir_test", img_dir,

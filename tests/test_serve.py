@@ -97,6 +97,10 @@ def test_serve_end_to_end(tmp_path):
             "--model_path", ckpt,
             "--batch_size", "4",
             "--timestep_respacing", "5",
+            # server-level CFG with the cached uncond branch: per-sample
+            # determinism/chunking invariants must hold under it too
+            "--cfg_scale", "1.5",
+            "--cfg_cache", "2",
             "--port", str(port),
         ],
         env=env, cwd=REPO,
