@@ -20,7 +20,10 @@ UNet forward per step, the expensive public-technique mode; forces bf16
 emission since the s8 fast path has no tangent), SFB_GUIDANCE_CACHE (0;
 N>1 recomputes the guidance gradient 1-in-N steps via cached_cond_fn —
 the lever that matters most for clip_x0, where each fresh gradient costs
-a full extra UNet forward+VJP).
+a full extra UNet forward+VJP), SFB_GUIDANCE="cfg" (classifier-free
+guidance over the class embedding: doubled batch via cfg_model_fn, or the
+cached uncond branch when SFB_CFG_CACHE=N>1 — measures the --cfg_cache
+win), SFB_CFG_SCALE (2.0).
 """
 
 import json
@@ -40,6 +43,9 @@ import numpy as np
 
 from guided_diffusion_clip_tpu.diffusion.guidance import (
     cached_cond_fn,
+    cfg_cached_model_fn,
+    cfg_cached_state0,
+    cfg_model_fn,
     classifier_cond_fn,
     model_fn_dropping_y,
 )
@@ -154,6 +160,23 @@ def main():
                     return model.apply({"params": params}, xx, t, **kw)
 
             model_fn = model_fn_dropping_y(unet_fn, class_cond=True)
+            if guidance == "cfg":
+                scale = float(os.environ.get("SFB_CFG_SCALE", 2.0))
+                gc = int(os.environ.get("SFB_CFG_CACHE", 0))
+                if gc > 1:
+                    sfn = cfg_cached_model_fn(model_fn, scale, {"y": 0}, gc)
+                    state0 = cfg_cached_state0(
+                        model_fn, jnp.zeros(shape),
+                        jnp.zeros((B,), jnp.int32), y=classes,
+                    )
+                    return _loop(
+                        sfn, shape, key, clip_denoised=True,
+                        model_kwargs={"y": classes}, model_state0=state0,
+                    )
+                return _loop(
+                    cfg_model_fn(model_fn, scale, {"y": 0}), shape, key,
+                    clip_denoised=True, model_kwargs={"y": classes},
+                )
             if guidance == "classifier":
                 def classifier_fn(xx, t):
                     return classifier.apply({"params": cparams}, xx, t)
