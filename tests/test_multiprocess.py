@@ -232,7 +232,7 @@ def test_two_process_classifier_train(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.timeout(900)
+@pytest.mark.timeout(1800)  # 811s standalone on a 1-core box; contention margin
 def test_two_process_two_device_sharded_training(tmp_path):
     """PROCESS-SPANNING sharded meshes (VERDICT r3 weak #4): 2 processes x
     2 CPU devices each — collectives cross the host boundary INSIDE sharded
@@ -281,8 +281,8 @@ def test_two_process_two_device_sharded_training(tmp_path):
         env=ref_env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=REPO,
     )
 
-    outs = [p.communicate(timeout=840)[0].decode(errors="replace") for p in procs]
-    ref_out = ref.communicate(timeout=840)[0].decode(errors="replace")
+    outs = [p.communicate(timeout=1700)[0].decode(errors="replace") for p in procs]
+    ref_out = ref.communicate(timeout=1700)[0].decode(errors="replace")
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
     assert ref.returncode == 0, f"reference failed:\n{ref_out[-4000:]}"
