@@ -30,11 +30,13 @@ reuse — fidelity on a TRAINED model, which tools/deep_cache_bench.py's
 random-init comparison cannot provide; "gcN" = guidance-gradient caching:
 trains a small noised classifier on the blobs' dominant-color label too,
 then compares the FULLY-guided chain against the 1-in-N cached-guidance
-chain — real trained guidance, same-seed + set-Frechet metrics; or any
-"+"-composition such as "int8+dc5+gc2", which measures the DEPLOYMENT
-STACK as one chain — int8 convs + DeepCache-5 generator + 1-in-2 cached
-guidance — against the fresh fully-guided bf16 reference chain;
-INT8Q_GUIDE_SCALE, default 10). On a 1-core CPU box use ~150 train steps /
+chain — real trained guidance, same-seed + set-Frechet metrics; "cfgcN" =
+CFG uncond-branch caching: trains a clip_feat-conditioned model WITH
+cond_dropout, then compares the doubled-batch CFG chain against the
+--cfg_cache chain (INT8Q_CFG_SCALE, default 3); or any "+"-composition
+such as "int8+dc5+gc2", which measures the DEPLOYMENT STACK as one chain —
+int8 convs + DeepCache-5 generator + 1-in-2 cached guidance — against the
+fresh fully-guided bf16 reference chain; INT8Q_GUIDE_SCALE, default 10). On a 1-core CPU box use ~150 train steps /
 32 samples (hours otherwise); on a TPU chip the defaults run in minutes.
 """
 
@@ -60,6 +62,9 @@ from guided_diffusion_clip_tpu.diffusion.deep_cache import (
 )
 from guided_diffusion_clip_tpu.diffusion.guidance import (
     cached_cond_fn,
+    cfg_cached_model_fn,
+    cfg_cached_state0,
+    cfg_model_fn,
     classifier_cond_fn,
     model_fn_dropping_y,
 )
@@ -100,12 +105,18 @@ def main():
     respacing = os.environ.get("INT8Q_RESPACING", "")
     sampler = os.environ.get("INT8Q_SAMPLER", "ancestral")
     variant = os.environ.get("INT8Q_VARIANT", "int8")
-    # "int8" | "dcN" | "gcN" | any "+"-composition, e.g. "int8+dc5+gc2" (the
-    # deployment stack measured as ONE chain vs the fresh bf16 reference)
+    # "int8" | "dcN" | "gcN" | "cfgcN" | any "+"-composition, e.g.
+    # "int8+dc5+gc2" (the deployment stack measured as ONE chain vs the
+    # fresh bf16 reference). "cfgcN" trains a clip_feat-conditioned model
+    # WITH cond_dropout, then compares the doubled-batch CFG chain against
+    # the --cfg_cache chain (uncond branch recomputed 1-in-N steps).
     parts = variant.split("+")
     dc_interval = next((int(p[2:]) for p in parts if p.startswith("dc")), 0)
+    cfgc_interval = next((int(p[4:]) for p in parts if p.startswith("cfgc")), 0)
     gc_interval = next((int(p[2:]) for p in parts if p.startswith("gc")), 0)
     use_int8 = "int8" in parts
+    assert not (cfgc_interval and dc_interval), "cfgc does not compose with dc"
+    assert not (cfgc_interval and gc_interval), "cfgc does not compose with gc"
     guide_scale = float(os.environ.get("INT8Q_GUIDE_SCALE", 10.0))
 
     logger.configure_dir(dir="/tmp/int8_chain_quality", format_strs=[])
@@ -135,8 +146,19 @@ def main():
     sample_dtype = (
         jnp.float32 if _jax.default_backend() == "cpu" else jnp.bfloat16
     )
-    model = UNetModel(config=cfg, dtype=jnp.float32)
-    model_bf16 = UNetModel(config=cfg, dtype=sample_dtype)
+    if cfgc_interval:
+        # clip_feat-conditioned generator (the fork pathway) trained WITH
+        # conditioning dropout so CFG has a real unconditional score
+        import dataclasses as _dc
+
+        from guided_diffusion_clip_tpu.models.clip_models import UNetModel_clip_feat
+
+        cfg = _dc.replace(cfg, num_classes=16)
+        model = UNetModel_clip_feat(cfg, dtype=jnp.float32)
+        model_bf16 = UNetModel_clip_feat(cfg, dtype=sample_dtype)
+    else:
+        model = UNetModel(config=cfg, dtype=jnp.float32)
+        model_bf16 = UNetModel(config=cfg, dtype=sample_dtype)
     diffusion = create_gaussian_diffusion(steps=T, noise_schedule="cosine")
     # sampling may respace the trained diffusion (e.g. T=1000 trained,
     # "250" ancestral / "ddim25" sampled — the reference's table configs)
@@ -150,15 +172,26 @@ def main():
 
     rs = np.random.RandomState(0)
 
+    # fixed random projection: blob dominant-color label {0,1,2} -> a 16-d
+    # conditioning embedding (the cfgc study's clip_feat stand-in)
+    feat_rows = np.random.RandomState(7).randn(3, 16).astype(np.float32)
+
+    def feats_for(batch: np.ndarray) -> np.ndarray:
+        labels = batch.mean(axis=(1, 2)).argmax(axis=-1)
+        return feat_rows[labels]
+
     def data_gen():
         while True:
-            yield make_blob_batch(rs, B, size), {}
+            batch = make_blob_batch(rs, B, size)
+            cond = {"clip_feat": feats_for(batch)} if cfgc_interval else {}
+            yield batch, cond
 
     print(f"[int8q +{time.time()-t0:.0f}s] building TrainLoop", file=sys.stderr, flush=True)
     loop = TrainLoop(
         model=model, diffusion=diffusion, data=data_gen(), batch_size=B,
         microbatch=-1, lr=2e-3, ema_rate="0.99", log_interval=10**9,
         save_interval=10**9, seed=0,
+        cond_dropout=0.15 if cfgc_interval else 0.0,
     )
     for i in range(train_steps):
         b, c = next(loop.data)
@@ -244,16 +277,41 @@ def main():
         else sample_diffusion.p_sample_loop
     )
 
-    def make_chain(use_dc: bool, use_gc: bool = False):
+    cfg_scale = float(os.environ.get("INT8Q_CFG_SCALE", 3.0))
+    cfg_feats = jnp.asarray(feat_rows[np.arange(B) % 3]) if cfgc_interval else None
+
+    def make_chain(use_dc: bool, use_gc: bool = False, use_cfgc: bool = False):
         """Fresh jit under the CURRENT conv impl (read at trace time).
 
         dc/gc compose: a guided study (gc_interval set) with use_dc runs the
         deep-cached generator under (possibly cached) classifier guidance —
         the classifier_sample.py --deep_cache --guidance_cache stack.
+        cfgc: both sets sample the cond_dropout-trained model through CFG;
+        the variant caches the uncond branch 1-in-N (--cfg_cache).
         """
 
         @jax.jit
         def chain(params, key):
+            if cfgc_interval:
+                def base_fn(x, t, **kw):
+                    return model_bf16.apply({"params": params}, x, t, **kw)
+
+                if use_cfgc:
+                    sfn = cfg_cached_model_fn(
+                        base_fn, cfg_scale, {"clip_feat": 0.0}, cfgc_interval
+                    )
+                    state0 = cfg_cached_state0(
+                        base_fn, jnp.zeros(shape), jnp.zeros((B,), jnp.int32),
+                        clip_feat=cfg_feats,
+                    )
+                    return loop(
+                        sfn, shape, key, model_kwargs={"clip_feat": cfg_feats},
+                        model_state0=state0,
+                    )
+                return loop(
+                    cfg_model_fn(base_fn, cfg_scale, {"clip_feat": 0.0}),
+                    shape, key, model_kwargs={"clip_feat": cfg_feats},
+                )
             # generator model_fn: plain or interval-N deep-feature reuse
             # (diffusion/deep_cache.py; same wiring as the CLIs' --deep_cache).
             # The generator is unconditional — strip the guided study's y.
@@ -311,6 +369,7 @@ def main():
             chains[name] = make_chain(
                 use_dc=(name == "variant" and dc_interval > 0),
                 use_gc=(name == "variant" and gc_interval > 0),
+                use_cfgc=(name == "variant" and cfgc_interval > 0),
             )  # one compile per mode
         chain = chains[name]
         outs = []
