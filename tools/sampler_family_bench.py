@@ -80,7 +80,12 @@ def main():
     model = create_upstream_model(
         image_size=size, num_channels=ch,
         num_res_blocks=2, channel_mult="", learn_sigma=True, class_cond=True,
-        use_checkpoint=False, attention_resolutions="32,16,8", num_heads=4,
+        # SFB_USE_CHECKPOINT=1: per-block rematerialization (the reference's
+        # --use_checkpoint) — required for clip_x0 at batch 16/256px, where
+        # differentiating through the UNet otherwise OOMs HBM (measured:
+        # 16.97G of 15.75G on v5e-1)
+        use_checkpoint=os.environ.get("SFB_USE_CHECKPOINT", "0") == "1",
+        attention_resolutions="32,16,8", num_heads=4,
         num_head_channels=64, num_heads_upsample=-1, use_scale_shift_norm=True,
         dropout=0.0, resblock_updown=True, use_fp16=fp16,
         use_new_attention_order=False,
