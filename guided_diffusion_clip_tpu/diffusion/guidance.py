@@ -227,9 +227,13 @@ def cfg_cached_model_fn(
             ),
             lambda: u_prev,
         )
-        eps = u[..., :c] + cfg_scale * (cond_out[..., :c] - u[..., :c])
-        out = jnp.concatenate([eps, cond_out[..., c:]], axis=-1)
-        out = jnp.where(inside, out, cond_out)
+        def _combine():
+            eps = u[..., :c] + cfg_scale * (cond_out[..., :c] - u[..., :c])
+            return jnp.concatenate([eps, cond_out[..., c:]], axis=-1)
+
+        # outside the window the combine is never emitted (not computed-and-
+        # discarded), so the zeros in state0 can't feed any arithmetic
+        out = jax.lax.cond(inside, _combine, lambda: cond_out)
         return out, (jnp.where(inside, j + 1, j), u)
 
     return fn

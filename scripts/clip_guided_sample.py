@@ -77,6 +77,10 @@ def main():
     from guided_diffusion_clip_tpu.ops.config import set_conv_impl
 
     args = parse_yaml(args)
+    if int(getattr(args, "cfg_cache", 0)) > 1 and not getattr(args, "cfg_scale", 0.0):
+        raise SystemExit(
+            "--cfg_cache caches the CFG uncond branch; it needs --cfg_scale"
+        )
     # after parse_yaml so a conv_impl key in the YAML config takes effect
     set_conv_impl(getattr(args, "conv_impl", "auto"))
 

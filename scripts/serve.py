@@ -189,6 +189,13 @@ class Sampler:
         self.compiled = False
         # request coalescing (see module docstring); 0 = off
         self.max_request = int(getattr(args, "max_request", 0)) or 8 * self.batch
+        if self.max_request < 1:
+            raise SystemExit(
+                f"--max_request must be >= 1 (got {self.max_request}); note a "
+                f"request above batch_size ({self.batch}) is served by several "
+                f"serial chain dispatches behind one HTTP response, so large "
+                f"values trade client latency for fewer round-trips"
+            )
         self.coalesce_ms = float(getattr(args, "coalesce_ms", 0.0))
         self.dispatches = 0
         self.coalesced_requests = 0
@@ -386,6 +393,11 @@ def _make_handler(sampler: Sampler):
 def main():
     args = create_argparser().parse_args()
     args = parse_yaml(args)
+    if int(getattr(args, "max_request", 0)) < 0:
+        raise SystemExit(
+            f"--max_request must be >= 1 (got {args.max_request}); 0 means "
+            f"the default 8x batch_size"
+        )
     logger.configure(args=args)
     sampler = Sampler(args)
     sampler.warmup()
@@ -416,7 +428,10 @@ def create_argparser():
         guidance_interval="",  # "lo,hi": CFG only for t in [lo,hi] (orig units)
         deep_cache=0,      # deep-feature reuse interval
         coalesce_ms=0.0,   # >0: batch concurrent requests into one dispatch
-        max_request=0,     # per-request sample cap; 0 = 8x batch_size
+        max_request=0,     # per-request sample cap; 0 = 8x batch_size. Requests
+                           # above batch_size run several serial chain dispatches
+                           # behind ONE response — large caps can exceed client
+                           # timeouts on long chains.
         main_path="",
     )
     defaults.update(model_and_diffusion_defaults())

@@ -168,6 +168,11 @@ def main():
             if guidance == "cfg":
                 scale = float(os.environ.get("SFB_CFG_SCALE", 2.0))
                 gc = int(os.environ.get("SFB_CFG_CACHE", 0))
+                # NOTE: {"y": 0} is a throughput-only stand-in for the null
+                # conditioning — class 0 is a real class, not a reserved null
+                # token. Real CFG sampling requires a trained null class
+                # (image_sample.py's --cfg_null_y). Fine here: random weights,
+                # we only time the two-branch dispatch.
                 if gc > 1:
                     sfn = cfg_cached_model_fn(model_fn, scale, {"y": 0}, gc)
                     state0 = cfg_cached_state0(
