@@ -423,6 +423,81 @@ def sample_chain_segment_dyn(
     return final
 
 
+def sample_chain_segment_dyn_stateful(
+    step_fn,
+    sched: DiffusionSchedule,
+    model_fn: Callable,
+    x,
+    rng,
+    t_start,
+    seg_len: int,
+    *,
+    cfg: SamplerConfig = SamplerConfig(),
+    cond_fn: Callable | None = None,
+    denoised_fn: Callable | None = None,
+    model_kwargs: dict | None = None,
+    model_state=None,
+    cond_state=None,
+):
+    """sample_chain_segment_dyn with _scan_loop's cache carries.
+
+    Runs timesteps t_start-1 .. t_start-seg_len with model_state/cond_state
+    threaded through the scan (stateful model_fn = DeepCache, stateful
+    cond_fn = guidance caching — same contracts as _scan_loop), and RETURNS
+    (x, model_state, cond_state) so the caller threads the caches across
+    segment boundaries: a 250-step cached chain run as 5x50 segments is
+    bit-identical to the single-scan loop while sharing one compiled
+    executable across equal-length segments (bench.py's warm-segment
+    machinery for the deploy256_fast stack)."""
+    B = x.shape[0]
+    t0 = jnp.asarray(t_start, jnp.int32)
+    timesteps = t0 - 1 - jnp.arange(seg_len, dtype=jnp.int32)
+    step_keys = _split(rng, seg_len)
+    has_m = model_state is not None
+    has_c = cond_state is not None
+
+    def body(carry, inp):
+        xx, mstate, cstate = carry
+        if not has_m:
+            mf = model_fn
+        else:
+            m_captured = []
+
+            def mf(xi, ti, **kw):
+                out, st = model_fn(xi, ti, mstate, **kw)
+                m_captured.append(st)
+                return out
+
+        if not has_c:
+            cf = cond_fn
+        else:
+            c_captured = []
+
+            def cf(xi, ti, **kw):
+                grad, st = cond_fn(xi, ti, cstate, **kw)
+                c_captured.append(st)
+                return grad
+
+        t_scalar, key = inp
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        sample, _ = step_fn(
+            sched, mf, xx, t, key,
+            cfg=cfg, cond_fn=cf, denoised_fn=denoised_fn, model_kwargs=model_kwargs,
+        )
+        if has_m:
+            assert len(m_captured) == 1, "stateful model_fn requires one call per step"
+            mstate = m_captured[0]
+        if has_c:
+            assert len(c_captured) == 1, "stateful cond_fn requires one call per step"
+            cstate = c_captured[0]
+        return (sample, mstate, cstate), None
+
+    (final, mstate, cstate), _ = jax.lax.scan(
+        body, (x, model_state, cond_state), (timesteps, step_keys)
+    )
+    return final, mstate, cstate
+
+
 def dpm_solver_pp_2m_loop(
     sched: DiffusionSchedule,
     model_fn: Callable,

@@ -37,7 +37,14 @@ def resolve_attention_impl() -> str:
 # currently resolves to "xla": int8 changes numerics, so it stays opt-in.
 # ---------------------------------------------------------------------------
 
-_conv_impl = os.environ.get("GDC_CONV_IMPL", "auto")
+# ContextVar, not a module global: bench.py traces programs under different
+# conv impls from a background AOT-compile thread — each thread sees its own
+# value (a fresh thread starts from the env default, same as before).
+import contextvars
+
+_conv_impl = contextvars.ContextVar(
+    "gdc_conv_impl", default=os.environ.get("GDC_CONV_IMPL", "auto")
+)
 
 
 # ---------------------------------------------------------------------------
@@ -68,17 +75,17 @@ def resolve_groupnorm_impl(quantize: bool = False) -> str:
 
 
 def set_conv_impl(impl: str) -> None:
-    global _conv_impl
     assert impl in ("auto", "xla", "int8"), impl
-    _conv_impl = impl
+    _conv_impl.set(impl)
 
 
 def get_conv_impl() -> str:
-    return _conv_impl
+    return _conv_impl.get()
 
 
 def resolve_conv_impl() -> str:
-    return "xla" if _conv_impl == "auto" else _conv_impl
+    impl = _conv_impl.get()
+    return "xla" if impl == "auto" else impl
 
 
 # ---------------------------------------------------------------------------

@@ -90,8 +90,12 @@ def main():
     from guided_diffusion_clip_tpu.utils import logger
     from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
 
+    # test-minimum config: on a 1-core box three processes compile
+    # concurrently, so XLA:CPU compile time dominates wall-clock — keep the
+    # graph as small as the coverage allows (halo convs at two resolutions,
+    # one attention block, GroupNorm)
     cfg = UNetConfig(
-        image_size=16, in_channels=3, model_channels=32, out_channels=6,
+        image_size=8, in_channels=3, model_channels=32, out_channels=6,
         num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
         num_heads=2, use_scale_shift_norm=True,
     )
@@ -105,10 +109,10 @@ def main():
     res["space_mesh_spans_processes"] = len(owners) == world
 
     rs = np.random.RandomState(0)
-    x_host = rs.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32)
+    x_host = rs.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
     t_host = np.array([0.0, 1.0, 2.0, 3.0], np.float32)
     params = jax.jit(model.init)(
-        jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1,))
+        jax.random.key(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,))
     )["params"]
 
     # replicated global inputs: every process provides the identical value
@@ -124,21 +128,24 @@ def main():
         jax.device_get(params),
     )
 
-    def loss_fn(p, x, t):
-        out = model.apply({"params": p}, x, t)
-        return (out.astype(jnp.float32) ** 2).mean()
+    # ONE jitted program computing both the forward output and the grads of
+    # every param THROUGH the cross-process halo exchange (fwd+bwd in a
+    # single compile — XLA:CPU compile time dominates this test's wall-clock)
+    def fwd_and_grads(p, x, t):
+        def loss_fn(pp):
+            out = model.apply({"params": pp}, x, t)
+            return (out.astype(jnp.float32) ** 2).mean(), out
+
+        (_, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        return out, grads
 
     with sp.spatial_sharding(space_mesh, data_axis=None, space_axis="space"):
-        fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
-        out = fwd(params_g, xg, tg)
-        # backward THROUGH the cross-process halo exchange: grads of every
-        # param through the SP-constrained convs/GN/attention
-        grads = jax.jit(jax.grad(loss_fn))(params_g, xg, tg)
+        out, grads = jax.jit(fwd_and_grads)(params_g, xg, tg)
     # tiled=True: the value spans devices of both processes (non-fully-
     # addressable); the gather assembles the full global array on every host
     out_host = np.asarray(
         multihost_utils.process_allgather(out, tiled=True)
-    ).reshape(4, 16, 16, 6)
+    ).reshape(4, 8, 8, 6)
     res["sp_fwd_fingerprint"] = float(np.abs(out_host).sum())
     np.save(os.path.join(args.tmpdir, f"sp_fwd_{tag_sfx}.npy"), out_host)
     gflat = np.concatenate(
@@ -175,7 +182,7 @@ def main():
             # global batch (the reference run owns all 8)
             g = np.random.RandomState(7)
             while True:
-                full = g.uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32)
+                full = g.uniform(-1, 1, (8, 8, 8, 3)).astype(np.float32)
                 yield full[rank * local_b:(rank + 1) * local_b], {}
 
         diffusion = create_gaussian_diffusion(

@@ -232,7 +232,8 @@ def test_two_process_classifier_train(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.timeout(1800)  # 811s standalone on a 1-core box; contention margin
+@pytest.mark.timeout(900)  # ~300s standalone on a 1-core box (8px worker,
+                           # fwd+grad in one compile, ref run sequential)
 def test_two_process_two_device_sharded_training(tmp_path):
     """PROCESS-SPANNING sharded meshes (VERDICT r3 weak #4): 2 processes x
     2 CPU devices each — collectives cross the host boundary INSIDE sharded
@@ -264,7 +265,14 @@ def test_two_process_two_device_sharded_training(tmp_path):
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=REPO,
             )
         )
-    # the single-process 4-device reference runs concurrently (no coordinator)
+    outs = [p.communicate(timeout=1700)[0].decode(errors="replace") for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+
+    # the single-process 4-device reference runs AFTER the workers, not
+    # concurrently: on a 1-core box three processes compiling at once thrash
+    # the core (measured ~580s wall for ~330s of CPU); two-then-one runs the
+    # same work in ~2/3 the wall
     ref_env = dict(os.environ)
     ref_env.update(
         JAX_PLATFORMS="cpu",
@@ -280,11 +288,7 @@ def test_two_process_two_device_sharded_training(tmp_path):
         ],
         env=ref_env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, cwd=REPO,
     )
-
-    outs = [p.communicate(timeout=1700)[0].decode(errors="replace") for p in procs]
     ref_out = ref.communicate(timeout=1700)[0].decode(errors="replace")
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
     assert ref.returncode == 0, f"reference failed:\n{ref_out[-4000:]}"
 
     results = [json.load(open(tmp_path / f"result2dev_{i}.json")) for i in range(WORLD)]

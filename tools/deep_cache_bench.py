@@ -50,7 +50,8 @@ def main():
     B = int(os.environ.get("DCB_BATCH", 16))
     size = int(os.environ.get("DCB_IMAGE_SIZE", 256))
     steps = os.environ.get("DCB_STEPS", "250")
-    intervals = [int(x) for x in os.environ.get("DCB_INTERVALS", "2,3,5").split(",")]
+    # "" = uncached only (the long-exec bisect / crash-repro configuration)
+    intervals = [int(x) for x in os.environ.get("DCB_INTERVALS", "2,3,5").split(",") if x]
     cut = int(os.environ.get("DCB_CUT", 0))
     set_conv_impl(os.environ.get("DCB_CONV_IMPL", "int8"))
 
@@ -138,10 +139,99 @@ def main():
 
         return jax.jit(chain)
 
+    # DCB_SEGMENT=N (e.g. 50): run the chain as N-step segments sharing one
+    # compiled executable, DeepCache state threaded across boundaries
+    # (sample_chain_segment_dyn_stateful). This is how bf16 chains run at
+    # the FULL 250-step protocol on the remote relay — a single-scan bf16
+    # 250-step program exceeds the relay worker's per-program execution
+    # budget (see the r5 long-exec bisect in ROUND_NOTES) while segments
+    # are numerically identical and each stay well under it.
+    seg = int(os.environ.get("DCB_SEGMENT", 0))
+
+    def make_chain_segmented(interval, seg_len):
+        import functools
+
+        from guided_diffusion_clip_tpu.diffusion.sampling import (
+            SamplerConfig,
+            p_sample_step,
+            sample_chain_segment_dyn_stateful,
+        )
+
+        cfg = SamplerConfig(
+            mean_type=diffusion.mean_type, var_type=diffusion.var_type,
+            clip_denoised=True,
+        )
+
+        @functools.partial(jax.jit, static_argnums=(6,), donate_argnums=(2,))
+        def run_seg(params, cparams, x, mstate, key, t_hi, seg_len):
+            def classifier_fn(xx, t):
+                return classifier.apply({"params": cparams}, xx, t)
+
+            cond_fn = classifier_cond_fn(classifier_fn, classifier_scale=1.0)
+            if interval is None:
+                def unet_fn(xx, t, **kw):
+                    with int8_emit("s8"):
+                        return model.apply({"params": params}, xx, t, **kw)
+
+                x, _, _ = sample_chain_segment_dyn_stateful(
+                    p_sample_step, diffusion.sched,
+                    model_fn_dropping_y(unet_fn, class_cond=True),
+                    x, key, t_hi, seg_len, cfg=cfg, cond_fn=cond_fn,
+                    model_kwargs={"y": classes},
+                )
+                return x, mstate
+
+            def apply_full(xx, t, **kw):
+                with int8_emit("s8"):
+                    return model.apply(
+                        {"params": params}, xx, t, cache_mode="full",
+                        cache_cut=cut, **kw,
+                    )
+
+            def apply_shallow(xx, t, deep, **kw):
+                with int8_emit("s8"):
+                    return model.apply(
+                        {"params": params}, xx, t, deep_cache=deep,
+                        cache_mode="shallow", cache_cut=cut, **kw,
+                    )
+
+            sfn = deep_cache_model_fn(apply_full, apply_shallow, interval)
+            x, mstate, _ = sample_chain_segment_dyn_stateful(
+                p_sample_step, diffusion.sched, sfn, x, key, t_hi, seg_len,
+                cfg=cfg, cond_fn=cond_fn, model_kwargs={"y": classes},
+                model_state=mstate,
+            )
+            return x, mstate
+
+        bounds = list(range(T, 0, -seg_len)) + [0]
+
+        def chain(params, cparams, key):
+            x = jax.random.normal(key, shape, dtype=jnp.float32)
+            if interval is None:
+                mstate = jnp.zeros(())  # unused placeholder carry
+            else:
+                def apply_full(xx, t, **kw):
+                    return model.apply(
+                        {"params": params}, xx, t, cache_mode="full",
+                        cache_cut=cut, **kw,
+                    )
+
+                mstate = zero_state(
+                    apply_full, jnp.zeros(shape), jnp.zeros((B,), jnp.int32),
+                    y=classes,
+                )
+            for t_hi, t_lo in zip(bounds[:-1], bounds[1:]):
+                key = jax.random.fold_in(key, t_hi)
+                x, mstate = run_seg(params, cparams, x, mstate, key, t_hi,
+                                    t_hi - t_lo)
+            return x
+
+        return chain
+
     t0 = time.time()
 
     def run(interval, label):
-        fn = make_chain(interval)
+        fn = make_chain_segmented(interval, seg) if seg else make_chain(interval)
         tc = time.time()
         out = np.asarray(fn(params, cparams, key))  # compile + run + fetch
         print(f"[dcb +{time.time()-t0:.0f}s] {label}: compile+first in {time.time()-tc:.0f}s", flush=True)
@@ -150,7 +240,8 @@ def main():
         secs = time.time() - tr
         print(
             f"[dcb +{time.time()-t0:.0f}s] {label}: {secs:.1f}s/chain "
-            f"= {B / secs * 60:.2f} samples/min/chip ({T} steps)", flush=True
+            f"= {B / secs * 60:.2f} samples/min/chip ({T} steps"
+            f"{f', {seg}-step segments' if seg else ''})", flush=True
         )
         return out, secs
 

@@ -11,9 +11,14 @@ evaluations/README.md:56-70):
      dataset (smooth colored blobs — learnable in a few hundred steps),
   2. sample N full ancestral chains from IDENTICAL seeds with bf16 convs
      and with int8 convs (the deployment fast path),
-  3. compare per-sample (corr / rel-RMSE in pixel space) and per-set
-     (Frechet distance on the evaluator's feature extractor, against the
-     seed-resampling noise floor FID(bf16_A, bf16_B)).
+  3. compare per-sample (corr / rel-RMSE in pixel space) and per-set:
+     Frechet distance on a TRAINED domain feature extractor
+     (tools/fidelity.py — latent-regression CNN, 32-d standardized
+     features), scored against INDEPENDENT base draws, with a multi-pair
+     seed-resampling floor AND a positive control (a set sampled from the
+     train_steps//8-undertrained EMA snapshot) that must clear the floor —
+     the r4 random-Inception Frechet printed 0.0 for every arm in every
+     study and is replaced (see fidelity.py's power analysis).
 
 Run on CPU (JAX_PLATFORMS=cpu; int8 XLA convs are platform-independent
 numerics) or on the chip. Prints one JSON line; numbers recorded in
@@ -40,7 +45,6 @@ fresh fully-guided bf16 reference chain; INT8Q_GUIDE_SCALE, default 10). On a 1-
 32 samples (hours otherwise); on a TPU chip the defaults run in minutes.
 """
 
-import functools
 import json
 import os
 import sys
@@ -79,20 +83,13 @@ from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
 
 
-def make_blob_batch(rs: np.random.RandomState, n: int, size: int) -> np.ndarray:
-    """Smooth colored 2-blob images in [-1, 1] — structured and learnable."""
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    out = np.empty((n, size, size, 3), np.float32)
-    for i in range(n):
-        img = np.zeros((size, size, 3), np.float32)
-        for _ in range(2):
-            cx, cy = rs.uniform(0.2, 0.8, 2)
-            s = rs.uniform(0.08, 0.25)
-            color = rs.uniform(-1, 1, 3)
-            g = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
-            img += g[..., None] * color[None, None, :]
-        out[i] = np.clip(img, -1, 1)
-    return out
+# blob generator shared with the fidelity metric (latents drive its
+# extractor's regression targets)
+from tools.fidelity import (  # noqa: E402
+    make_blob_batch,
+    score_sets,
+    train_feature_extractor,
+)
 
 
 def main():
@@ -193,10 +190,14 @@ def main():
         save_interval=10**9, seed=0,
         cond_dropout=0.15 if cfgc_interval else 0.0,
     )
+    undertrained_ema = None  # positive-control checkpoint (train_steps//8)
+    snap_at = max(1, train_steps // 8)
     for i in range(train_steps):
         b, c = next(loop.data)
         loop.run_step(b, c)
         loop.step += 1
+        if i + 1 == snap_at:
+            undertrained_ema = jax.device_get(loop.ema_params[0])
         if i % 50 == 0:
             print(f"[int8q +{time.time()-t0:.0f}s] train step {i}", file=sys.stderr, flush=True)
     loop.flush_metrics()
@@ -361,7 +362,7 @@ def main():
 
     chains = {}
 
-    def sample_set(name: str, seed0: int) -> np.ndarray:
+    def sample_set(name: str, seed0: int, params=None) -> np.ndarray:
         # name: "base" = bf16/xla uncached (fully guided when gcN);
         # "variant" = int8 convs, DeepCache, and/or cached guidance per parts
         set_conv_impl("int8" if (name == "variant" and use_int8) else "xla")
@@ -374,7 +375,10 @@ def main():
         chain = chains[name]
         outs = []
         for i in range(-(-n_samples // B)):
-            outs.append(np.asarray(chain(ema, jax.random.key(seed0 + i))))
+            outs.append(
+                np.asarray(chain(params if params is not None else ema,
+                                 jax.random.key(seed0 + i)))
+            )
         return np.concatenate(outs)[:n_samples]
 
     bf16_a = sample_set("base", 100)
@@ -383,6 +387,14 @@ def main():
     print(f"[int8q +{time.time()-t0:.0f}s] variant ({variant}) set sampled", file=sys.stderr, flush=True)
     bf16_b = sample_set("base", 500)  # disjoint seeds: the noise floor
     print(f"[int8q +{time.time()-t0:.0f}s] base set B sampled", file=sys.stderr, flush=True)
+    bf16_c = sample_set("base", 900)  # third draw: multi-pair floor spread
+    print(f"[int8q +{time.time()-t0:.0f}s] base set C sampled", file=sys.stderr, flush=True)
+    # positive control: the base chain from the undertrained EMA snapshot —
+    # a genuine distribution shift the set metric MUST detect, else its
+    # "variant within floor" verdict carries no information
+    posctrl = sample_set("base", 100, params=undertrained_ema)
+    print(f"[int8q +{time.time()-t0:.0f}s] positive-control set sampled "
+          f"(EMA @ step {snap_at})", file=sys.stderr, flush=True)
 
     # ---- per-sample, same-seed chain deviation
     flat_b = bf16_a.reshape(n_samples, -1)
@@ -392,30 +404,23 @@ def main():
     )
     rel_rmse = np.sqrt(((flat_b - flat_i) ** 2).mean(1)) / (flat_b.std(1) + 1e-12)
 
-    # ---- per-set Frechet distance on the evaluator's extractor
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "evaluations"))
-    from evaluations.evaluator import statistics_from_activations
-    from evaluations.inception_flax import inception_features, random_params
-
-    iparams = random_params(0)
-    feats_fn = jax.jit(
-        functools.partial(inception_features)
-    )
-
-    def feats(x_pm1: np.ndarray) -> np.ndarray:
-        u8 = ((x_pm1 + 1) * 127.5).clip(0, 255).astype(np.uint8)
-        pool, _ = feats_fn(iparams, jnp.asarray(u8, jnp.float32))
-        return np.asarray(pool)
-
+    # ---- per-set Frechet on the TRAINED domain extractor (tools/fidelity.py)
+    # — candidates scored vs INDEPENDENT base draws, multi-pair floor,
+    # undertrained positive control. All values unrounded.
     set_conv_impl("xla")
-    f_bf_a, f_int, f_bf_b = feats(bf16_a), feats(int8_a), feats(bf16_b)
-    fid_int = statistics_from_activations(f_bf_a).frechet_distance(
-        statistics_from_activations(f_int)
+    feat_steps = int(os.environ.get("INT8Q_FEAT_STEPS", 300))
+    feats_fn, feat_loss = train_feature_extractor(
+        size, steps=feat_steps,
+        log=lambda m: print(f"[int8q +{time.time()-t0:.0f}s] {m}",
+                            file=sys.stderr, flush=True),
     )
-    fid_floor = statistics_from_activations(f_bf_a).frechet_distance(
-        statistics_from_activations(f_bf_b)
-    )
+    set_scores = score_sets(feats_fn, {
+        "base_a": bf16_a, "base_b": bf16_b, "base_c": bf16_c,
+        "variant": int8_a, "undertrained_posctrl": posctrl,
+    })
+    floor_max = set_scores["floor"]["max"]
+    posctrl_sep = set_scores["undertrained_posctrl"]["mean"] > floor_max
+    variant_within = set_scores["variant"]["mean"] <= floor_max
 
     chain_desc = respacing or str(T)
     result = {
@@ -427,8 +432,12 @@ def main():
         "same_seed_pixel_corr_min": round(float(corr.min()), 6),
         "same_seed_rel_rmse_mean": round(float(rel_rmse.mean()), 5),
         "same_seed_rel_rmse_max": round(float(rel_rmse.max()), 5),
-        "set_frechet_variant_vs_base": round(float(fid_int), 6),
-        "set_frechet_noise_floor_base_vs_base": round(float(fid_floor), 6),
+        "set_frechet": set_scores,
+        "feat_extractor_final_loss": feat_loss,
+        # the set-level verdict is only meaningful if the positive control
+        # separates: an undertrained-EMA set the metric MUST flag
+        "posctrl_separated": bool(posctrl_sep),
+        "variant_within_floor": bool(variant_within),
         "wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(result))
