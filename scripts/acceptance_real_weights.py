@@ -26,6 +26,15 @@ Stages (each idempotent; --stages to subset):
   evaluate  evaluations/evaluator.py ref_batch vs samples with the JAX
             Inception port; prints metrics next to the published targets
             (FID 2.07 / P 0.74 / R 0.63, reference README.md:127)
+  clip_check  real-CLIP acceptance (reference model-card.md:45-48): load the
+            released ViT-B/32 .pt + bpe_simple_vocab_16e6.txt.gz, tokenize a
+            prompt, encode text AND image end-to-end, assert embedding
+            geometry — the assets clip_guided_sample.py consumes via
+            --clip_model_path/--clip_vocab
+
+Every found asset's sha256 is verified against published digests where they
+exist (the ViT-B/32 URL embeds its own) and recorded into
+assets_manifest.json otherwise (verified on every later run).
 
 Every stage is unit-tested with synthetic stand-ins in
 tests/test_acceptance_path.py (tiny model flags via --size_override, random
@@ -52,7 +61,74 @@ ASSET_URLS = {
         "https://openaipublic.blob.core.windows.net/diffusion/jul-2021/ref_batches/imagenet/64/VIRTUAL_imagenet64_labeled.npz",
     "classify_image_graph_def.pb":
         "http://download.tensorflow.org/models/image/imagenet/inception-2015-12-05.tgz",
+    # CLIP acceptance path (the namesake surface: text/image-guided sampling,
+    # reference model-card.md:45-48): the released ViT-B/32 weights + the BPE
+    # vocab the tokenizer needs (models/clip_tokenizer.py). Only required by
+    # the clip_check stage — the ADM FID path runs without them.
+    "ViT-B-32.pt":
+        "https://openaipublic.azureedge.net/clip/models/"
+        "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/ViT-B-32.pt",
+    "bpe_simple_vocab_16e6.txt.gz":
+        "https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6.txt.gz",
 }
+
+CLIP_ASSETS = ("ViT-B-32.pt", "bpe_simple_vocab_16e6.txt.gz")
+ADM_ASSETS = tuple(k for k in ASSET_URLS if k not in CLIP_ASSETS)
+
+# Known-good digests. The ViT-B/32 sha256 is embedded in its release URL;
+# the remaining assets have no published digest — they are RECORDED into
+# assets_manifest.json on first resolve and verified on every later run.
+KNOWN_SHA256 = {
+    "ViT-B-32.pt":
+        "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af",
+}
+
+
+def _sha256(path: str, chunk: int = 1 << 20) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def verify_manifest(args, found: dict) -> dict:
+    """Record-on-first-sight / verify-on-every-later-run checksum manifest."""
+    mpath = os.path.join(args.assets_dir, "assets_manifest.json")
+    manifest = {}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+    changed = False
+    # the GDC_CLIP_TINY stand-in lane (tests) ships synthetic assets, so
+    # published digests don't apply there; manifest recording still does
+    known = {} if os.environ.get("GDC_CLIP_TINY") else KNOWN_SHA256
+    for name, path in found.items():
+        digest = _sha256(path)
+        expected = known.get(name) or manifest.get(name, {}).get("sha256")
+        if expected and digest != expected:
+            raise SystemExit(
+                f"checksum mismatch for {name}: got {digest}, expected "
+                f"{expected} ({'published' if name in KNOWN_SHA256 else mpath})"
+            )
+        if name not in manifest:
+            manifest[name] = {
+                "sha256": digest,
+                "bytes": os.path.getsize(path),
+                "url": ASSET_URLS.get(name, ""),
+            }
+            changed = True
+    if changed:
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+    print(json.dumps({"stage": "manifest",
+                      "verified": sorted(found), "path": mpath}), flush=True)
+    return manifest
 
 # the published 64px guided-sampling recipe (reference README.md:41-50)
 MODEL_FLAGS_64 = [
@@ -70,8 +146,15 @@ CLASSIFIER_FLAGS_64 = [
 PUBLISHED_64 = {"FID": 2.07, "precision": 0.74, "recall": 0.63}
 
 
-def resolve(args) -> dict:
-    """Locate each asset under --assets_dir; optionally download."""
+def resolve(args, stages) -> dict:
+    """Locate each asset under --assets_dir; optionally download.
+
+    Lists BOTH asset groups (ADM FID path + CLIP path). Missing assets fail
+    the run only when a requested stage needs them: sample/evaluate (and a
+    bare `--stages resolve`, which checks the primary path) need the ADM
+    group; clip_check needs the CLIP group — so the ADM FID pipeline runs
+    without the CLIP weights and vice versa.
+    """
     found, missing = {}, []
     for name in ASSET_URLS:
         p = os.path.join(args.assets_dir, name)
@@ -97,12 +180,24 @@ def resolve(args) -> dict:
                 missing.remove(name)
             except Exception as e:  # noqa: BLE001 - report every asset
                 print(f"[resolve] FAILED {name}: {e!r}", flush=True)
-    status = {"found": found, "missing": missing}
+    status = {
+        "found": found,
+        "missing": missing,
+        "groups": {"adm_fid": sorted(ADM_ASSETS), "clip": sorted(CLIP_ASSETS)},
+    }
     print(json.dumps({"stage": "resolve", **status}), flush=True)
-    if missing:
+    verify_manifest(args, found)
+    needed = set()
+    if {"sample", "evaluate"} & set(stages) or list(stages) == ["resolve"]:
+        needed |= set(ADM_ASSETS)
+    if "clip_check" in stages:
+        needed |= set(CLIP_ASSETS)
+    blocking = sorted(needed & set(missing))
+    if blocking:
         raise SystemExit(
-            f"missing assets: {missing}. Mount them under {args.assets_dir} "
-            "or run with --download in a network-enabled environment."
+            f"missing assets required by the requested stages: {blocking}. "
+            f"Mount them under {args.assets_dir} or run with --download in a "
+            "network-enabled environment."
         )
     return found
 
@@ -188,6 +283,88 @@ def evaluate(args, assets: dict, samples_npz: str) -> dict:
     return result
 
 
+def clip_check(args, assets: dict) -> dict:
+    """Real-CLIP acceptance: load ViT-B/32 weights + BPE vocab, tokenize a
+    prompt, encode text AND a synthetic image end-to-end, and assert the
+    embedding geometry is sane (unit-normalizable 512-d vectors, finite
+    cosine). This is the stage that has never run with real assets — the
+    CLIP-guided sampling CLIs (clip_guided_sample.py) consume exactly these
+    two files via --clip_model_path / --clip_vocab."""
+    sys.path.insert(0, REPO)
+    import numpy as np
+
+    from guided_diffusion_clip_tpu.models.clip_tokenizer import SimpleTokenizer
+    from guided_diffusion_clip_tpu.models.clip_vit import (
+        CLIPConfig,
+        CLIPTextEncoder,
+        CLIPVisionEncoder,
+        import_clip_torch_state_dict,
+        import_openai_clip_pt,
+    )
+
+    # GDC_CLIP_TINY: the synthetic stand-in lane (tests) — tiny config,
+    # vocab sized from the supplied merges file (clip_guided_sample.py's
+    # pattern); production uses the real ViT-B/32 shapes.
+    if os.environ.get("GDC_CLIP_TINY"):
+        import dataclasses
+
+        cfg = CLIPConfig(
+            image_size=32, patch_size=16, vision_width=64, vision_layers=2,
+            vision_heads=4, vocab_size=100, context_length=12, text_width=32,
+            text_layers=2, text_heads=2, embed_dim=16,
+        )
+        tok = SimpleTokenizer(bpe_path=assets["bpe_simple_vocab_16e6.txt.gz"],
+                              context_length=cfg.context_length)
+        cfg = dataclasses.replace(cfg, vocab_size=len(tok.encoder))
+    else:
+        cfg = CLIPConfig()  # ViT-B/32 shapes
+        tok = SimpleTokenizer(bpe_path=assets["bpe_simple_vocab_16e6.txt.gz"],
+                              context_length=cfg.context_length)
+        assert len(tok.encoder) == cfg.vocab_size, (
+            f"BPE vocab yields {len(tok.encoder)} tokens, CLIP expects "
+            f"{cfg.vocab_size}"
+        )
+    import torch
+
+    sd = torch.load(assets["ViT-B-32.pt"], map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if any(k.startswith("visual.") for k in sd):
+        vision, text, _ = import_openai_clip_pt(sd, cfg)
+    else:
+        vision, text, _ = import_clip_torch_state_dict(sd, cfg)
+
+    import jax
+    import jax.numpy as jnp
+
+    tokens = np.asarray(tok("a photo of a diffusion model"))  # [1, context]
+    rs = np.random.RandomState(0)
+    img = rs.uniform(-1, 1, (1, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    v = jax.jit(
+        lambda p, x: CLIPVisionEncoder(cfg).apply({"params": p}, x)
+    )(vision, jnp.asarray(img))
+    t = jax.jit(
+        lambda p, x: CLIPTextEncoder(cfg).apply({"params": p}, x)
+    )(text, jnp.asarray(tokens))
+    v, t = np.asarray(v), np.asarray(t)
+    assert v.shape == t.shape == (1, cfg.embed_dim), (v.shape, t.shape)
+    assert np.isfinite(v).all() and np.isfinite(t).all()
+    cos = float(
+        (v / np.linalg.norm(v)) @ (t / np.linalg.norm(t)).T
+    )
+    result = {
+        "stage": "clip_check",
+        "vocab_size": len(tok.encoder),
+        "embed_dim": int(v.shape[-1]),
+        "image_embed_norm": float(np.linalg.norm(v)),
+        "text_embed_norm": float(np.linalg.norm(t)),
+        "cosine_random_image_vs_prompt": cos,
+        "ok": True,
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
 def main():
     ap = argparse.ArgumentParser(
         description="fetch/convert released ADM assets, sample, evaluate"
@@ -199,7 +376,10 @@ def main():
     ap.add_argument("--num_samples", type=int, default=1000)
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--timestep_respacing", default="250")
-    ap.add_argument("--stages", default="resolve,convert,sample,evaluate")
+    ap.add_argument("--stages", default="resolve,convert,sample,evaluate",
+                    help="comma subset of resolve,convert,sample,evaluate,"
+                         "clip_check (clip_check = real ViT-B/32 + BPE vocab "
+                         "import/encode acceptance)")
     ap.add_argument("--size_override", default="",
                     help="space-separated flag string replacing the published "
                          "64px model flags (tests use a tiny config)")
@@ -211,13 +391,15 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     stages = args.stages.split(",")
 
-    assets = resolve(args) if "resolve" in stages else {
+    assets = resolve(args, stages) if "resolve" in stages else {
         k: os.path.join(args.assets_dir, k) for k in
         list(ASSET_URLS) + ["inception_v3_fid.npz"]
         if os.path.exists(os.path.join(args.assets_dir, k))
     }
     if "convert" in stages:
         assets = convert(args, assets)
+    if "clip_check" in stages:
+        clip_check(args, assets)
     samples_npz = sample(args, assets) if "sample" in stages else os.path.join(
         args.out_dir, f"samples_{args.num_samples}.npz"
     )

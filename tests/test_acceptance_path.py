@@ -133,9 +133,19 @@ def test_acceptance_path_end_to_end(tmp_path):
 
     lines = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
     stages = {l["stage"]: l for l in lines}
-    # resolve found every stand-in (pb substituted by the converted npz)
-    assert stages["resolve"]["missing"] == []
+    # resolve found every ADM-path stand-in (pb substituted by the converted
+    # npz); the CLIP assets are listed missing but do NOT block — only the
+    # clip_check stage needs them
+    assert set(stages["resolve"]["missing"]) == {
+        "ViT-B-32.pt", "bpe_simple_vocab_16e6.txt.gz",
+    }
     assert "inception_v3_fid.npz" in stages["resolve"]["found"]
+    assert stages["resolve"]["groups"]["clip"] == [
+        "ViT-B-32.pt", "bpe_simple_vocab_16e6.txt.gz",
+    ]
+    # every found asset's digest landed in the manifest
+    assert os.path.exists(os.path.join(assets, "assets_manifest.json"))
+    assert "manifest" in stages
     # sample produced the accumulated npz via the real classifier_sample CLI
     out_npz = stages["sample"]["npz"]
     arr = np.load(out_npz)["arr_0"]
@@ -163,3 +173,85 @@ def test_resolve_reports_missing(tmp_path):
     )
     assert proc.returncode != 0
     assert "missing assets" in (proc.stdout + proc.stderr)
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(600)  # two jax-import subprocesses; slow under contention
+def test_clip_check_stage_with_standins(tmp_path):
+    """clip_check end-to-end on synthetic CLIP assets: a tiny HF-format
+    CLIPModel .pt (the importer's other supported layout) + a toy BPE vocab,
+    via the GDC_CLIP_TINY lane — same stand-in strategy as the ADM stages."""
+    assets = str(tmp_path / "assets")
+    os.makedirs(assets)
+    import dataclasses
+    import shutil
+
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_clip_vit import TINY, make_hf_model
+
+    from guided_diffusion_clip_tpu.models.clip_tokenizer import SimpleTokenizer
+
+    # the vendored tiny vocab stands in for bpe_simple_vocab_16e6.txt.gz;
+    # the stand-in model's vocab must match it (clip_check sizes the tiny
+    # config off the supplied merges file, clip_guided_sample's pattern)
+    vocab_dst = os.path.join(assets, "bpe_simple_vocab_16e6.txt.gz")
+    shutil.copy(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets",
+                     "tiny_bpe_vocab.txt.gz"),
+        vocab_dst,
+    )
+    tok = SimpleTokenizer(vocab_dst, context_length=TINY.context_length)
+    cfg = dataclasses.replace(TINY, vocab_size=len(tok.encoder))
+    torch.save(make_hf_model(cfg).state_dict(),
+               os.path.join(assets, "ViT-B-32.pt"))
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "acceptance_real_weights.py"),
+            "--assets_dir", assets, "--stages", "resolve,clip_check",
+        ],
+        env=dict(os.environ, JAX_PLATFORMS="cpu", GDC_CLIP_TINY="1"),
+        cwd=REPO, capture_output=True, text=True, timeout=580,
+    )
+    assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
+    lines = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    stages = {l["stage"]: l for l in lines}
+    # CLIP assets found; the (absent) ADM assets do not block this lane
+    assert "ViT-B-32.pt" in stages["resolve"]["found"]
+    c = stages["clip_check"]
+    assert c["ok"] and c["embed_dim"] == TINY.embed_dim
+    assert np.isfinite(c["cosine_random_image_vs_prompt"])
+    assert -1.0 <= c["cosine_random_image_vs_prompt"] <= 1.0
+    # manifest recorded the synthetic assets' digests
+    man = json.load(open(os.path.join(assets, "assets_manifest.json")))
+    assert "ViT-B-32.pt" in man and "sha256" in man["ViT-B-32.pt"]
+
+
+@pytest.mark.timeout(120)
+def test_manifest_detects_corruption(tmp_path):
+    """A second resolve after an asset changed under the manifest fails."""
+    assets = str(tmp_path / "assets")
+    os.makedirs(assets)
+    with open(os.path.join(assets, "bpe_simple_vocab_16e6.txt.gz"), "wb") as f:
+        f.write(b"original")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def run():
+        return subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "scripts", "acceptance_real_weights.py"),
+                "--assets_dir", assets, "--stages", "resolve,noop",
+            ],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=100,
+        )
+
+    assert run().returncode == 0  # records the digest, nothing blocks
+    with open(os.path.join(assets, "bpe_simple_vocab_16e6.txt.gz"), "wb") as f:
+        f.write(b"tampered")
+    proc = run()
+    assert proc.returncode != 0
+    assert "checksum mismatch" in (proc.stdout + proc.stderr)
