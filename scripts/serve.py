@@ -127,6 +127,11 @@ class Sampler:
             )
 
         def run_chain(params, seeds, subidx, feats):
+            # batch-polymorphic: every shape derives from seeds.shape[0], so
+            # jit retraces per BUCKET size (see --batch_buckets) and each
+            # bucket gets its own cached executable
+            B = seeds.shape[0]
+            shape = (B, args.image_size, args.image_size, 3)
             # PER-SAMPLE RNG on the merged batch: the loops accept a [B] key
             # vector and vmap only the noise draws over it (sampling.py
             # _keys_batched), so sample i's bytes depend only on
@@ -152,8 +157,8 @@ class Sampler:
                         cfg_cache_n, interval=g_interval,
                     )
                     state0 = cfg_cached_state0(
-                        model_fn, jnp.zeros(self.shape),
-                        jnp.zeros((self.batch,), jnp.int32), **model_kwargs,
+                        model_fn, jnp.zeros(shape),
+                        jnp.zeros((B,), jnp.int32), **model_kwargs,
                     )
                 else:
                     mf = cfg_model_fn(
@@ -175,11 +180,11 @@ class Sampler:
                     apply_full, apply_shallow, deep_cache_n
                 )
                 state0 = zero_state(
-                    apply_full, jnp.zeros(self.shape),
-                    jnp.zeros((self.batch,), jnp.int32),
+                    apply_full, jnp.zeros(shape),
+                    jnp.zeros((B,), jnp.int32),
                 )
             out = loop(
-                mf, self.shape, keys, clip_denoised=True,
+                mf, shape, keys, clip_denoised=True,
                 model_kwargs=model_kwargs, model_state0=state0,
             )
             return ((out + 1) * 127.5).clip(0, 255).astype(jnp.uint8)
@@ -187,6 +192,19 @@ class Sampler:
         self._chain = jax.jit(run_chain)
         self._lock = threading.Lock()
         self.compiled = False
+        # --batch_buckets: extra SMALLER compiled batch shapes. A request (or
+        # coalesced group) pads only to the smallest bucket that fits instead
+        # of the full batch, so small requests stop paying full-batch chain
+        # latency. Each bucket is one more executable (compiled at warmup);
+        # per-sample RNG keeps bytes identical across bucket choices.
+        raw = str(getattr(args, "batch_buckets", "") or "")
+        extra = sorted({int(b) for b in raw.split(",") if b.strip()})
+        if any(b < 1 or b > self.batch for b in extra):
+            raise SystemExit(
+                f"--batch_buckets entries must be in [1, batch_size="
+                f"{self.batch}], got {extra}"
+            )
+        self.buckets = sorted(set(extra) | {self.batch})
         # request coalescing (see module docstring); 0 = off
         self.max_request = int(getattr(args, "max_request", 0)) or 8 * self.batch
         if self.max_request < 1:
@@ -205,12 +223,13 @@ class Sampler:
             threading.Thread(target=self._dispatcher, daemon=True).start()
 
     def warmup(self):
-        logger.log(f"serve: compiling the chain (batch {self.batch}, "
-                   f"{self.steps} steps)...")
-        out = self.sample(self.batch, seed=0, cond=None)
-        assert out.shape == self.shape, out.shape
+        for b in self.buckets:
+            logger.log(f"serve: compiling the chain (batch {b}, "
+                       f"{self.steps} steps)...")
+            out = self.sample(b, seed=0, cond=None)
+            assert out.shape == (b,) + self.shape[1:], out.shape
         self.compiled = True
-        logger.log("serve: chain compiled; serving")
+        logger.log(f"serve: chain compiled for buckets {self.buckets}; serving")
 
     def _validate(self, n, cond):
         """-> per-sample feat array [n, 512] (zeros when unconditioned)."""
@@ -230,10 +249,15 @@ class Sampler:
             feats = arr
         return feats
 
+    def _bucket_for(self, n: int) -> int:
+        """Smallest compiled batch shape that fits n samples."""
+        return min(b for b in self.buckets if b >= n)
+
     def _run_batch(self, seeds, subidx, feats):
-        """Pad per-sample arrays to the compiled batch and dispatch ONCE."""
+        """Pad per-sample arrays to the smallest fitting bucket and dispatch
+        ONCE (the bucket's executable is cached per shape by jit)."""
         n = len(seeds)
-        pad = self.batch - n
+        pad = self._bucket_for(n) - n
         seeds = np.pad(np.asarray(seeds, np.int32), (0, pad))
         subidx = np.pad(np.asarray(subidx, np.int32), (0, pad))
         feats = np.pad(np.asarray(feats, np.float32), ((0, pad), (0, 0)))
@@ -350,6 +374,7 @@ def _make_handler(sampler: Sampler):
                 "sampler": getattr(a, "sampler", "") or
                            ("ddim" if a.use_ddim else "ancestral"),
                 "coalesce_ms": sampler.coalesce_ms,
+                "batch_buckets": sampler.buckets,
                 "max_request": sampler.max_request,
                 "dispatches": sampler.dispatches,
                 "coalesced_requests": sampler.coalesced_requests,
@@ -428,6 +453,10 @@ def create_argparser():
         guidance_interval="",  # "lo,hi": CFG only for t in [lo,hi] (orig units)
         deep_cache=0,      # deep-feature reuse interval
         coalesce_ms=0.0,   # >0: batch concurrent requests into one dispatch
+        batch_buckets="",  # e.g. "1,2,4": extra smaller compiled batch shapes;
+                           # small requests route to the smallest fitting
+                           # bucket instead of paying full-batch latency
+                           # (one warmup compile per bucket)
         max_request=0,     # per-request sample cap; 0 = 8x batch_size. Requests
                            # above batch_size run several serial chain dispatches
                            # behind ONE response — large caps can exceed client

@@ -243,3 +243,63 @@ def test_serve_coalescing(tmp_path):
             proc.wait(timeout=20)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+@pytest.mark.slow
+@pytest.mark.timeout(600)
+def test_serve_batch_buckets(tmp_path):
+    """--batch_buckets compiles extra smaller batch shapes; a small request
+    routes to the smallest fitting bucket, and per-sample RNG keeps its
+    bytes identical regardless of which bucket served it."""
+    import io
+
+    ckpt = str(tmp_path / "model000001.flax")
+    _make_ckpt(ckpt)
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OPENAI_LOGDIR=str(tmp_path / "log"))
+    proc = subprocess.Popen(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "serve.py"),
+            *TINY,
+            "--model_path", ckpt,
+            "--batch_size", "4",
+            "--batch_buckets", "1,2",
+            "--timestep_respacing", "5",
+            "--port", str(port),
+        ],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+
+    def fetch(n, seed):
+        with _post(port, {"num_samples": n, "seed": seed}) as r:
+            return np.load(io.BytesIO(r.read()))["arr_0"]
+
+    try:
+        h = _wait_healthy(port, proc, budget=560)
+        assert h["batch_buckets"] == [1, 2, 4]
+
+        # n=1 rides bucket 1, n=2 bucket 2, n=3 bucket 4; per-sample RNG
+        # (key = fold_in(seed, subidx)) makes the shared prefixes identical
+        # across bucket choices
+        a1 = fetch(1, 7)
+        a2 = fetch(2, 7)
+        a3 = fetch(3, 7)
+        assert a1.shape[0] == 1 and a2.shape[0] == 2 and a3.shape[0] == 3
+        np.testing.assert_array_equal(a2[:1], a1)
+        np.testing.assert_array_equal(a3[:2], a2)
+
+        # a chunked request (6 = 4 + 2) routes the tail chunk to bucket 2 —
+        # result identical to the separate 2-sample fetch with the same
+        # seeds/subidx? (subidx differs across chunks: 4,5) — just check
+        # shape and the full-batch prefix equality vs a fresh 4-sample run
+        a6 = fetch(6, 7)
+        a4 = fetch(4, 7)
+        assert a6.shape[0] == 6
+        np.testing.assert_array_equal(a6[:4], a4)
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()

@@ -119,7 +119,18 @@ def main():
     logger.configure_dir(dir="/tmp/int8_chain_quality", format_strs=[])
     set_conv_impl("xla")  # training is bf16
 
-    if size >= 64:
+    if size >= 128:
+        # headline-class proxy (VERDICT r4 item 4): attention at ds 4/8/16 =
+        # 32/16/8 px attended maps — the SAME attended token counts as the
+        # 256px headline config (reference script_util.py presets put
+        # attention at 32,16,8 px for both 128 and 256)
+        cfg = UNetConfig(
+            image_size=size, in_channels=3, model_channels=128, out_channels=3,
+            num_res_blocks=2, attention_resolutions=(4, 8, 16),
+            channel_mult=(1, 2, 3, 4), num_heads=4, use_scale_shift_norm=True,
+            resblock_updown=True,
+        )
+    elif size >= 64:
         # ADM-style at-scale proxy: the 64px README config's depth/attention
         # topology at half width (reference script_util.py:149-159 presets)
         cfg = UNetConfig(

@@ -74,6 +74,8 @@ def main() -> None:
     ch = int(os.environ.get("SB_CH", 256 if size == 256 else 192))
     coalesce_ms = float(os.environ.get("SB_COALESCE_MS", 0))
     concurrency = int(os.environ.get("SB_CONCURRENCY", 4))
+    buckets = os.environ.get("SB_BUCKETS", "")  # e.g. "1,2,4": also measures
+    # per-bucket small-request latency (--batch_buckets routing)
 
     ckpt = f"/tmp/serve_bench_ckpt_{size}_{ch}.flax"  # config-keyed: a stale
     # smoke-config file must never be served to a different model shape
@@ -97,6 +99,7 @@ def main() -> None:
             "--conv_impl", conv_impl,
             "--batch_size", str(B),
             "--coalesce_ms", str(coalesce_ms),
+            "--batch_buckets", buckets,
             "--port", str(port),
         ],
         cwd=REPO,
@@ -125,9 +128,9 @@ def main() -> None:
             raise SystemExit("server never became healthy")
         print(f"[sb +{time.time()-t0:.0f}s] compiled", file=sys.stderr, flush=True)
 
-        def request(seed: int) -> float:
+        def request(seed: int, n: int = n_samp) -> float:
             payload = json.dumps(
-                {"num_samples": n_samp, "seed": seed, "format": "npz"}
+                {"num_samples": n, "seed": seed, "format": "npz"}
             ).encode()
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/sample", data=payload,
@@ -149,6 +152,13 @@ def main() -> None:
         sustained_s = (time.time() - t) / n_req
 
         extra = {}
+        if buckets:
+            # small-request latency per bucket (the --batch_buckets payoff):
+            # without buckets an n=1 request pays the full-batch chain
+            extra["batch_buckets"] = buckets
+            for nb in sorted({int(b) for b in buckets.split(",") if b} | {B}):
+                times = [request(2000 + nb * 10 + i, nb) for i in range(3)]
+                extra[f"latency_n{nb}_best_s"] = round(min(times), 3)
         if coalesce_ms > 0:
             import concurrent.futures
 
