@@ -176,7 +176,7 @@ def test_resolve_reports_missing(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.timeout(600)  # two jax-import subprocesses; slow under contention
+@pytest.mark.timeout(900)  # two jax-import subprocesses; slow under contention
 def test_clip_check_stage_with_standins(tmp_path):
     """clip_check end-to-end on synthetic CLIP assets: a tiny HF-format
     CLIPModel .pt (the importer's other supported layout) + a toy BPE vocab,
@@ -214,7 +214,7 @@ def test_clip_check_stage_with_standins(tmp_path):
             "--assets_dir", assets, "--stages", "resolve,clip_check",
         ],
         env=dict(os.environ, JAX_PLATFORMS="cpu", GDC_CLIP_TINY="1"),
-        cwd=REPO, capture_output=True, text=True, timeout=580,
+        cwd=REPO, capture_output=True, text=True, timeout=870,
     )
     assert proc.returncode == 0, proc.stdout[-3000:] + proc.stderr[-3000:]
     lines = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]

@@ -58,6 +58,7 @@ from guided_diffusion_clip_tpu.models.unet import (
 )
 from guided_diffusion_clip_tpu.ops.config import set_conv_impl
 from guided_diffusion_clip_tpu.training.train_loop import TrainLoop
+from guided_diffusion_clip_tpu.utils.checkpoint import setup_compilation_cache
 from guided_diffusion_clip_tpu.utils import logger
 from guided_diffusion_clip_tpu.utils.script_util import create_gaussian_diffusion
 from tools.fidelity import frechet, make_blob_batch, train_feature_extractor
@@ -122,6 +123,9 @@ def main():
 
     logger.configure_dir(dir="/tmp/guidance_quality_sweep", format_strs=[])
     set_conv_impl("xla")
+    # persistent compile cache: relay compiles sporadically wedge >30 min
+    # (observed r4/r5); a killed-and-retried run must not re-pay finished ones
+    setup_compilation_cache()
 
     # generator: the r4 at-scale proxy (64px ADM topology at half width —
     # reference script_util.py presets); classifier: the gc-study encoder

@@ -118,6 +118,11 @@ def main():
 
     logger.configure_dir(dir="/tmp/int8_chain_quality", format_strs=[])
     set_conv_impl("xla")  # training is bf16
+    # persistent compile cache: relay compiles sporadically wedge >30 min;
+    # a killed-and-retried run must not re-pay the compiles that finished
+    from guided_diffusion_clip_tpu.utils.checkpoint import setup_compilation_cache
+
+    setup_compilation_cache()
 
     if size >= 128:
         # headline-class proxy (VERDICT r4 item 4): attention at ds 4/8/16 =
