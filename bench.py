@@ -467,8 +467,12 @@ def main():
                 "chain-level AT SCALE (tools/int8_chain_quality.py on v5e, "
                 "64px ch128 ADM config trained on-chip, bf16 torso, same "
                 "seeds): 250-step ancestral corr 0.999988 / rel-RMSE 0.59%, "
-                "ddim25 corr 0.99993 / rel-RMSE 1.19%, set Frechet distance "
-                "at the seed-resampling noise floor in both"
+                "ddim25 corr 0.99993 / rel-RMSE 1.19%; full deploy stack "
+                "(int8+dc5+gc2) at 128px with the headline's 32/16/8px "
+                "attention geometry: 250-step corr 0.999992 / rel-RMSE "
+                "0.40%, set Frechet 0.94x the real-vs-real floor with a "
+                "144x-separated undertrained positive control "
+                "(ROUND_NOTES r5)"
             )
         # the headline deliberately measures the UNCACHED chain (comparable
         # work to the reference's 250-step config); the shipped fast configs
@@ -476,9 +480,12 @@ def main():
         result["documented_fast_configs"] = (
             "int8+deep_cache5 23.17 samples/min (9.27x); "
             "int8+deep_cache5+guidance_cache2 26.57 (10.6x); "
-            "+guidance_interval 200,800 28.28 (11.3x) — "
+            "+guidance_interval 200,800 28.72 (11.49x, driver-verified) — "
             "configs/deploy256_fast.yaml; trained-model fidelity per link "
-            "and composed in ROUND_NOTES r4 (tools/int8_chain_quality.py)"
+            "and composed at 128px headline-class scale in ROUND_NOTES "
+            "r4/r5 (tools/int8_chain_quality.py); interval window and "
+            "guidance_cache choices sweep-backed "
+            "(tools/guidance_quality_sweep.py, ROUND_NOTES r5)"
         )
         _BEST_RESULT = dict(result)
         _emit(result)
