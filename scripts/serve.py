@@ -205,6 +205,7 @@ class Sampler:
                 f"{self.batch}], got {extra}"
             )
         self.buckets = sorted(set(extra) | {self.batch})
+        self.bucket_latency: dict = {}  # bucket -> measured warm s (warmup)
         # request coalescing (see module docstring); 0 = off
         self.max_request = int(getattr(args, "max_request", 0)) or 8 * self.batch
         if self.max_request < 1:
@@ -228,8 +229,23 @@ class Sampler:
                        f"{self.steps} steps)...")
             out = self.sample(b, seed=0, cond=None)
             assert out.shape == (b,) + self.shape[1:], out.shape
+            # time one WARM chain per bucket: on TPU, smaller is not faster —
+            # XLA hits per-shape cliffs (measured on v5e at 256px ddim25:
+            # batch 4 runs 4.0s vs batch 8's 2.5s — 1.6x SLOWER in absolute
+            # time; tools/batch_sweep_probe.py, ROUND_NOTES r5). Routing
+            # picks the measured-fastest bucket that fits, so a pathological
+            # shape is automatically bypassed.
+            t0 = time.time()
+            self.sample(b, seed=0, cond=None)
+            self.bucket_latency[b] = time.time() - t0
         self.compiled = True
-        logger.log(f"serve: chain compiled for buckets {self.buckets}; serving")
+        lat = {b: round(self.bucket_latency[b], 3) for b in self.buckets}
+        routed = sorted({self._bucket_for(n) for n in range(1, self.batch + 1)})
+        logger.log(
+            f"serve: chain compiled for buckets {self.buckets}; measured "
+            f"warm latency {lat}; effective buckets after latency routing "
+            f"{routed}; serving"
+        )
 
     def _validate(self, n, cond):
         """-> per-sample feat array [n, 512] (zeros when unconditioned)."""
@@ -250,8 +266,17 @@ class Sampler:
         return feats
 
     def _bucket_for(self, n: int) -> int:
-        """Smallest compiled batch shape that fits n samples."""
-        return min(b for b in self.buckets if b >= n)
+        """Fastest compiled batch shape that fits n samples.
+
+        By measured warm latency when available (post-warmup), else by size.
+        Size is only a proxy: XLA per-shape cliffs can make a smaller batch
+        SLOWER in absolute time (see warmup note), so the measured map wins;
+        ties break toward the smaller shape."""
+        fits = [b for b in self.buckets if b >= n]
+        measured = [b for b in fits if b in self.bucket_latency]
+        if measured:
+            return min(measured, key=lambda b: (self.bucket_latency[b], b))
+        return min(fits)
 
     def _run_batch(self, seeds, subidx, feats):
         """Pad per-sample arrays to the smallest fitting bucket and dispatch
@@ -375,6 +400,10 @@ def _make_handler(sampler: Sampler):
                            ("ddim" if a.use_ddim else "ancestral"),
                 "coalesce_ms": sampler.coalesce_ms,
                 "batch_buckets": sampler.buckets,
+                "bucket_latency_s": {
+                    str(b): round(s, 3)
+                    for b, s in sorted(sampler.bucket_latency.items())
+                },
                 "max_request": sampler.max_request,
                 "dispatches": sampler.dispatches,
                 "coalesced_requests": sampler.coalesced_requests,

@@ -303,3 +303,37 @@ def test_serve_batch_buckets(tmp_path):
             proc.wait(timeout=20)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_bucket_latency_routing():
+    """_bucket_for picks the measured-fastest fitting bucket, not the
+    smallest: on TPU XLA hits per-shape cliffs (v5e 256px ddim25 measured
+    batch 4 at 4.0s vs batch 8 at 2.5s — tools/batch_sweep_probe.py), so
+    size is only the pre-warmup fallback; ties break toward smaller."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from serve import Sampler
+
+    s = object.__new__(Sampler)
+    s.buckets = [1, 2, 4, 8]
+    s.bucket_latency = {}
+    # pre-warmup (no measurements): size routing
+    assert Sampler._bucket_for(s, 1) == 1
+    assert Sampler._bucket_for(s, 3) == 4
+
+    # the measured v5e cliff: 2/4 slower than 8 in absolute time
+    s.bucket_latency = {1: 1.9, 2: 2.7, 4: 4.0, 8: 2.5}
+    assert Sampler._bucket_for(s, 1) == 1   # 1 is genuinely fastest
+    assert Sampler._bucket_for(s, 2) == 8   # bypasses the 2.7s/4.0s shapes
+    assert Sampler._bucket_for(s, 4) == 8
+    assert Sampler._bucket_for(s, 8) == 8
+
+    # monotonic latencies: behaves like size routing; ties -> smaller
+    s.bucket_latency = {1: 0.5, 2: 0.5, 4: 0.8, 8: 1.0}
+    assert Sampler._bucket_for(s, 1) == 1
+    assert Sampler._bucket_for(s, 2) == 2
+    assert Sampler._bucket_for(s, 3) == 4
+
+    # partial measurements (mid-warmup): only measured fitting buckets used
+    s.bucket_latency = {1: 9.9}
+    assert Sampler._bucket_for(s, 2) == 2   # no measured bucket fits n=2
+    assert Sampler._bucket_for(s, 1) == 1   # 1 measured, it fits

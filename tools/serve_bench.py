@@ -180,7 +180,7 @@ def main() -> None:
                     ))
             conc_s = (time.time() - t) / n_req
             h = healthz()
-            extra = {
+            extra.update({
                 "coalesce_ms": coalesce_ms,
                 "concurrency": concurrency,
                 "concurrent_round_s": round(conc_s, 2),
@@ -189,7 +189,7 @@ def main() -> None:
                 ),
                 "dispatches_for_concurrent_rounds": h["dispatches"] - d0,
                 "coalesced_requests": h["coalesced_requests"],
-            }
+            })
 
         print(json.dumps({
             "config": f"serve.py {size}px {respacing} {conv_impl}, batch {B}, "
