@@ -459,7 +459,13 @@ class UNetModel(nn.Module):
         )
 
         # --- timestep + label embedding (f32, unet.py:470-479,649-653) -----
-        emb = Dense(ted, name="time_embed_0")(timestep_embedding(timesteps, cfg.model_channels))
+        # constrain_embedding pins after EACH stage: FSDP-sharded Dense
+        # weights otherwise propagate their sharding into the tiny [B, ted]
+        # activations and GSPMD falls back to involuntary rematerialization
+        # on the in-between silu (tests/test_fsdp.py)
+        emb = tp.constrain_embedding(
+            Dense(ted, name="time_embed_0")(timestep_embedding(timesteps, cfg.model_channels))
+        )
         emb = Dense(ted, name="time_embed_2")(silu(emb))
         if cfg.num_classes is not None:
             assert y is not None, "class-conditional model requires y"
@@ -467,11 +473,14 @@ class UNetModel(nn.Module):
                 emb = emb + nn.Embed(cfg.num_classes, ted, name="label_emb")(y)
             else:
                 zero = cfg.label_emb_type == "mlp_zero"
-                le = Dense(ted, zero=zero, name="label_emb_0")(y.astype(jnp.float32))
+                le = tp.constrain_embedding(
+                    Dense(ted, zero=zero, name="label_emb_0")(y.astype(jnp.float32))
+                )
                 le = Dense(ted, zero=zero, name="label_emb_2")(silu(le))
                 emb = emb + le
         else:
             assert y is None or cfg.variant == "unet", "y given to an unconditional model"
+        emb = tp.constrain_embedding(emb)
 
         # --- UNet torso (bf16-capable) --------------------------------------
         input_blocks, middle_block, output_blocks, _ = build_plan(cfg)
@@ -526,8 +535,11 @@ class EncoderUNetModel(nn.Module):
         cfgv = _CfgView(cfg, self.dtype)
         ted = cfg.time_embed_dim
 
-        emb = Dense(ted, name="time_embed_0")(timestep_embedding(timesteps, cfg.model_channels))
+        emb = tp.constrain_embedding(
+            Dense(ted, name="time_embed_0")(timestep_embedding(timesteps, cfg.model_channels))
+        )
         emb = Dense(ted, name="time_embed_2")(silu(emb))
+        emb = tp.constrain_embedding(emb)
 
         input_blocks, middle_block, _, feature_size = build_plan(cfg)
         h = tp.constrain_channels(sp.constrain_spatial(x.astype(self.dtype)))

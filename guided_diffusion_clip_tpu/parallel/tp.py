@@ -100,6 +100,23 @@ def constrain_channels(h):
     )
 
 
+def constrain_embedding(h):
+    """Pin a rank-2 [batch, features] embedding to (batch over data, features
+    replicated).
+
+    The timestep/label embedding is tiny (B x time_embed_dim) but feeds every
+    ResBlock; without a pin, parameter shardings propagate INTO it — under
+    FSDPxTP (ZeRO-3 params spread over the full data x model pool) GSPMD
+    tried to reshard it per-ResBlock and fell back to '[SPMD] Involuntary
+    full rematerialization' (tests/test_fsdp.py regression). Replicating the
+    features of a few-KB tensor costs nothing and keeps propagation clean.
+    """
+    if _STATE is None or getattr(h, "ndim", 0) != 2:
+        return h
+    mesh, data_axis, _ = _STATE
+    return jax.lax.with_sharding_constraint(h, NamedSharding(mesh, P(data_axis)))
+
+
 def setup_from_flag(tensor_shard: int, batch_size: int) -> Mesh | None:
     """Build + activate the TP mesh for a CLI's --tensor_shard flag.
 

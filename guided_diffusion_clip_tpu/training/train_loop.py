@@ -166,6 +166,14 @@ class TrainLoop:
         # over 'space' (constraints live inside the model). Activation
         # memory/time per chip drops by the space factor — the knob for
         # 256/512px configs where pure DP runs out of HBM or latency.
+        # validate BEFORE activating anything: asserting inside the tensor
+        # branch (after SP is already switched on) would raise with
+        # process-global SP left active — a failed constructor must not
+        # leak sharding state into later traces in the same process
+        assert not (
+            spatial_shard and spatial_shard > 1
+            and tensor_shard and tensor_shard > 1
+        ), "spatial_shard and tensor_shard are mutually exclusive"
         if spatial_shard and spatial_shard > 1:
             # SP and TP are mutually exclusive (sp.set_spatial_sharding
             # asserts); a loop explicitly asked to spatial-shard makes any
@@ -199,9 +207,6 @@ class TrainLoop:
         # chip activation memory drops by the model factor while params stay
         # replicated; GSPMD handles the channel-parallel convs and grad sync.
         if tensor_shard and tensor_shard > 1:
-            assert not (spatial_shard and spatial_shard > 1), (
-                "spatial_shard and tensor_shard are mutually exclusive"
-            )
             sp.clear_spatial_sharding()  # requested TP supersedes stale ambient SP
             if mesh is None:
                 n = len(jax.devices())
@@ -671,6 +676,14 @@ class TrainLoop:
 
             def scan_body(acc, inp):
                 (x, c, tt, w), r = inp
+                # pin conditioning slices to batch-sharded: the dynamic-slice
+                # out of the [n_micro, ...] stack otherwise inherits a mixed
+                # sharding under FSDPxTP and GSPMD falls back to involuntary
+                # full rematerialization on the tiny [micro, feat] tensors
+                # (tests/test_fsdp.py)
+                c = jax.tree_util.tree_map(
+                    lambda v: jax.lax.with_sharding_constraint(v, vec_shd), c
+                )
                 (loss, terms), grads = grad_fn(compute_params, x, c, tt, w, r)
                 acc = jax.tree_util.tree_map(jnp.add, acc, grads)
                 if param_shd is not None:

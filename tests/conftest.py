@@ -50,3 +50,22 @@ def pytest_runtest_call(item):
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
+
+
+# ---------------------------------------------------------------------------
+# Process-global sharding state (parallel/sp.py, parallel/tp.py) must never
+# leak across tests: a leaked (data, space) mesh makes every later
+# with_sharding_constraint trace against it (seen: a TrainLoop whose
+# constructor raised mid-setup left SP active and broke 12 unrelated parity
+# tests). Per-file fixtures exist in test_spatial/test_tensor; this is the
+# suite-wide backstop.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(autouse=True)
+def _clear_global_sharding_state():
+    yield
+    from guided_diffusion_clip_tpu.parallel import sp, tp
+
+    sp.clear_spatial_sharding()
+    tp.clear_tensor_sharding()
